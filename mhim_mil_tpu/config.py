@@ -1,0 +1,226 @@
+"""Typed experiment configuration with YAML presets and CLI overrides.
+
+TPU re-design of the reference's two-stage argparse+YAML system
+(reference: options.py:192-239 ``_parse_args`` and :284-342
+``more_about_config``): flag names are preserved so a reference user's
+command lines and YAML presets carry over, but the config is a typed
+dataclass tree instead of a loose argparse Namespace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    # ---- Dataset (reference options.py:16-37) ----
+    dataset_root: str = ""
+    csv_path: Optional[str] = None
+    h5_path: Optional[str] = None
+    datasets: str = "synth"
+    val_ratio: float = 0.0
+    fold_start: int = 0
+    cv_fold: int = 5
+    val2test: bool = False
+    random_fold: bool = False
+    random_seed: bool = False
+    num_workers: int = 6
+    persistence: bool = False
+
+    # ---- Training (reference options.py:39-76) ----
+    main_alpha: float = 1.0
+    aux_alpha: float = 0.0
+    num_epoch: int = 200
+    epoch_start: int = 0
+    early_stopping: bool = True
+    max_epoch: int = 130
+    warmup_epochs: int = 0
+    patient: int = 20
+    input_dim: int = 1024
+    n_classes: int = 2
+    batch_size: int = 1
+    loss: str = "ce"  # ce | bce | nll_surv
+    opt: str = "adam"  # adam | adamw
+    model: str = "abmil"
+    seed: int = 2021
+    lr: float = 2e-4
+    warmup_lr: float = 1e-6
+    lr_sche: str = "cosine"  # cosine | step | const
+    lr_supi: bool = False
+    weight_decay: float = 1e-5
+    accumulation_steps: int = 1
+    clip_grad: Optional[float] = None
+    always_test: bool = False
+    best_metric_index: int = -1
+    model_ema: bool = False
+
+    # ---- Evaluation (reference options.py:78-82) ----
+    num_bootstrap: int = 1000
+    bootstrap_mode: str = "test"  # test | none | val | test_val
+    bin_metric: bool = False
+
+    # ---- Model: general (reference options.py:84-107) ----
+    act: str = "relu"
+    dropout: float = 0.25
+    mil_norm: Optional[str] = None
+    mil_bias: bool = True
+    inner_dim: int = 512
+    patch_shuffle: bool = False
+    da_act: str = "relu"
+    da_gated: bool = False
+    pos: Optional[str] = None  # ppeg | sincos | none
+    n_heads: int = 8
+    n_layers: int = 2
+    pool: str = "cls_token"
+    attn_dropout: float = 0.0
+
+    # ---- RRT (reference options.py:109-116) ----
+    epeg_k: int = 15
+    crmsa_k: int = 3
+    region_num: int = 8
+    rrt_n_heads: int = 8
+    rrt_n_layers: int = 2
+
+    # ---- MHIM (reference options.py:118-141) ----
+    baseline: str = "selfattn"  # attn | selfattn | dsmil
+    mask_ratio: float = 0.0
+    mask_ratio_l: float = 0.0
+    mask_ratio_h: float = 0.0
+    mask_ratio_hr: float = 1.0
+    mrh_sche: bool = False
+    attn2score: bool = False
+    temp_t: float = 0.1
+    teacher_init: Optional[str] = None
+    mm: float = 0.9997
+    mm_sche: bool = False
+    merge_enable: bool = False
+    merge_k: int = 1
+    merge_ratio: float = 0.2
+    merge_mm: float = 0.9998
+    merge_test: bool = False
+    msa_fusion: str = "vote"
+    attn_layer: int = 0
+
+    # ---- ibmil (reference options.py:151-154) ----
+    confounder_path: Optional[str] = None
+    confounder_k: int = 1
+
+    # ---- Mamba (reference options.py:156-172) ----
+    mambamil_dim: int = 128
+    mambamil_rate: int = 10
+    mambamil_state_dim: int = 16
+    mambamil_layer: int = 1
+    mamba_2d: bool = False
+    mamba_2d_pad_token: str = "trainable"  # zero | trainable
+    mamba_2d_max_hw: int = 128
+
+    # ---- Misc (reference options.py:174-190) ----
+    title: str = "default"
+    project: str = "mil_tpu"
+    log_iter: int = 100
+    output_path: str = "./output"
+    model_path: Optional[str] = None
+    save_result: bool = False
+    script_mode: str = "all"  # all | no_train | test | only_train
+
+    # ---- TPU-specific (no reference equivalent) ----
+    bucket_sizes: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay fp32
+    mesh_dp: int = -1  # -1 = all devices on the dp axis
+    mesh_sp: int = 1   # instance-axis (sequence) sharding factor
+    synth_n_slides: int = 64  # synthetic dataset size (datasets='synth')
+    synth_bag_size: int = 256
+    eval_bucket: Optional[int] = None
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _coerce(value: str, ftype):
+    """Coerce a CLI string into the dataclass field's type."""
+    if ftype is bool or ftype == Optional[bool]:
+        return value.lower() in ("1", "true", "yes", "y")
+    for t in (int, float):
+        if ftype is t:
+            return t(value)
+    if ftype == Optional[int]:
+        return None if value.lower() == "none" else int(value)
+    if ftype == Optional[float]:
+        return None if value.lower() == "none" else float(value)
+    if ftype is tuple:
+        return tuple(int(v) for v in value.split(","))
+    if value.lower() == "none":
+        return None
+    return value
+
+
+def load_config(argv: Optional[List[str]] = None, **overrides) -> Config:
+    """Two-stage parse mirroring the reference: ``-c a.yaml,b.yaml`` merge in
+    order as defaults (reference options.py:215-227), then CLI flags override,
+    then programmatic ``overrides`` win (reference ``_parse_args_only_from_config``).
+    """
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("-c", "--config", default="", type=str)
+    pre_args, rest = pre.parse_known_args(argv)
+
+    values = {}
+    if pre_args.config:
+        for path in pre_args.config.split(","):
+            with open(path) as f:
+                values.update(yaml.safe_load(f) or {})
+
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    parser = argparse.ArgumentParser(description="mhim_mil_tpu training")
+    for name, f in fields.items():
+        if f.type in ("bool", bool):
+            parser.add_argument(f"--{name}", nargs="?", const="true", default=None)
+        else:
+            parser.add_argument(f"--{name}", default=None, type=str)
+    cli, unknown = parser.parse_known_args(rest)
+    if unknown:
+        raise SystemExit(f"unknown flags: {unknown}")
+
+    import typing
+
+    hints = typing.get_type_hints(Config)
+    for name in fields:
+        v = getattr(cli, name)
+        if v is not None:
+            values[name] = _coerce(str(v), hints[name])
+
+    # YAML values may already be typed; coerce strings only.
+    clean = {}
+    for k, v in values.items():
+        if k not in fields:
+            raise SystemExit(f"unknown config key: {k}")
+        clean[k] = _coerce(v, hints[k]) if isinstance(v, str) else v
+    clean.update(overrides)
+    cfg = Config(**clean)
+    return finalize_config(cfg)
+
+
+def finalize_config(cfg: Config) -> Config:
+    """Derived fields (reference ``more_about_config`` options.py:284-342)."""
+    up = {}
+    # MHIM ablation defaults (reference options.py:290-293): -1 ratios mean
+    # "the flagship preset for this baseline".
+    if cfg.model in ("mhim", "mhim_pure"):
+        if cfg.mask_ratio_h < 0:
+            up["mask_ratio_h"] = 0.03 if cfg.baseline == "selfattn" else 0.01
+        if cfg.mask_ratio < 0:
+            up["mask_ratio"] = 0.5 if cfg.baseline == "selfattn" else 0.8
+    if cfg.loss == "nll_surv" and cfg.n_classes < 2:
+        up["n_classes"] = 4
+    # 2D-Mamba per-dataset grid bounds (reference options.py:314-331).
+    if cfg.model == "2dmamba":
+        grid = {"call": 220, "c16": 220, "nsclc": 160, "brca": 160, "panda": 96}
+        key = next((k for k in grid if k in cfg.datasets), None)
+        if key is not None:
+            up["mamba_2d_max_hw"] = grid[key]
+    return cfg.replace(**up) if up else cfg

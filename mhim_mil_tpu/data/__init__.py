@@ -1,0 +1,4 @@
+from .synthetic import make_synthetic_dataset
+from .bucketing import pad_bag, batch_bags, pick_bucket
+
+__all__ = ["make_synthetic_dataset", "pad_bag", "batch_bags", "pick_bucket"]

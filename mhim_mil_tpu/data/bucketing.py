@@ -1,0 +1,78 @@
+"""Length-bucketed padding and bag batching.
+
+The reference trains batch=1 with a fresh dynamic shape per bag (reference:
+datasets/dataloader.py:14-46) — on TPU that would recompile per bag size.
+Here bags are padded up to the smallest bucket that fits, so XLA compiles one
+program per (bucket, batch) pair; padding is carried as a boolean mask that
+every kernel in ``ops/`` understands.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in sorted(buckets):
+        if n <= b:
+            return b
+    return int(np.ceil(n / buckets[-1])) * buckets[-1]  # extend by multiples
+
+
+def pad_bag(feats: np.ndarray, bucket: int):
+    n, d = feats.shape
+    out = np.zeros((bucket, d), dtype=feats.dtype)
+    out[:n] = feats
+    mask = np.zeros((bucket,), dtype=bool)
+    mask[:n] = True
+    return out, mask
+
+
+def batch_bags(
+    slides: List[Dict],
+    batch_size: int,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    seed: int = 0,
+    extra_keys: Sequence[str] = ("target",),
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Group slides into batches of bags sharing one bucket size.
+
+    Slides are ordered by bucket (so batches are shape-homogeneous), shuffled
+    within buckets when ``shuffle``. Emits dicts with ``feats[B,N,D]``,
+    ``mask[B,N]``, ``bag_valid[B]`` plus the requested label keys. Short final
+    batches are padded with zero bags (``bag_valid=False``) unless
+    ``drop_last``.
+    """
+    rng = np.random.default_rng(seed)
+    by_bucket: Dict[int, List[int]] = {}
+    for i, s in enumerate(slides):
+        b = pick_bucket(len(s["feats"]), buckets)
+        by_bucket.setdefault(b, []).append(i)
+
+    bucket_order = list(by_bucket)
+    if shuffle:
+        rng.shuffle(bucket_order)
+    for b in bucket_order:
+        idxs = by_bucket[b]
+        if shuffle:
+            rng.shuffle(idxs)
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            if len(chunk) < batch_size and drop_last:
+                continue
+            feats = np.zeros((batch_size, b, slides[0]["feats"].shape[1]), np.float32)
+            mask = np.zeros((batch_size, b), bool)
+            bag_valid = np.zeros((batch_size,), bool)
+            extras = {k: np.zeros((batch_size,), np.int32) for k in extra_keys}
+            for j, idx in enumerate(chunk):
+                f, m = pad_bag(slides[idx]["feats"], b)
+                feats[j], mask[j], bag_valid[j] = f, m, True
+                for k in extra_keys:
+                    extras[k][j] = slides[idx].get(k, 0)
+            yield {"feats": feats, "mask": mask, "bag_valid": bag_valid, **extras}

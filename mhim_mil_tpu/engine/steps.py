@@ -1,0 +1,114 @@
+"""Jitted train / eval steps per model family.
+
+The reference dispatches model-specific forward logic through ``CommonMIL``
+hook methods called from a Python epoch loop (reference:
+engines/common_mil.py:14-68, engines/base_engine.py:46-232). Here each family
+gets one fused, jitted ``train_step(state, batch) → (state, metrics)``:
+forward, loss, backward, optimizer update and (for MHIM) the teacher-EMA
+update all execute as a single XLA program per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .losses import build_criterion
+from .train_state import MILTrainState
+from ..utils.schedules import cosine_schedule
+
+
+def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool = True):
+    """Build the jitted train step for a model family.
+
+    Families (reference engines/common_mil.py:14-46):
+      - ``default``: plain forward; model may return an ``aux_loss``
+        (CLAM instance loss, DSMIL max-pool loss) weighted by ``aux_alpha``
+        when the model doesn't own the weighting itself.
+      - ``mhim`` / ``mhim_pure``: handled in models/mhim.py's step builders.
+    """
+    criterion = build_criterion(cfg)
+    total_steps = cfg.num_epoch * steps_per_epoch
+
+    def loss_fn(params, model_state, rng, batch, step):
+        variables = {"params": params, **model_state}
+        mutable = [k for k in model_state.keys()]
+        rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1)}
+        if mutable:
+            out, new_model_state = model.apply(
+                variables, batch["feats"], batch["mask"],
+                training=True, rngs=rngs, mutable=mutable,
+            )
+        else:
+            out = model.apply(
+                variables, batch["feats"], batch["mask"], training=True, rngs=rngs
+            )
+            new_model_state = model_state
+        logits = out["logits"]
+        main = criterion(logits, batch)
+        aux = out.get("aux_loss", 0.0)
+        loss = cfg.main_alpha * main + cfg.aux_alpha * aux
+        return loss, (new_model_state, main, aux)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: MILTrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, (new_model_state, main, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.model_state, step_rng, batch, state.step)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        metrics = {"loss": loss, "main_loss": main, "aux_loss": aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, model, family: str, params_field: str = "params"):
+    """Jitted eval forward. Returns logits (+ optional sub-logits for DSMIL's
+    dual head, averaged by the caller — reference engines/common_mil.py:66-67).
+    """
+
+    @jax.jit
+    def eval_step(state: MILTrainState, batch):
+        params = getattr(state, params_field)
+        if params is None:
+            params = state.params
+        variables = {"params": params, **state.model_state}
+        out = model.apply(
+            variables, batch["feats"], batch["mask"], training=False
+        )
+        res = {"logits": out["logits"].astype(jnp.float32)}
+        if "inst_logits_bag" in out:
+            res["sub_logits"] = out["inst_logits_bag"].astype(jnp.float32)
+        return res
+
+    return eval_step
+
+
+def ema_update(teacher_params, student_params, mm):
+    """Teacher EMA: ``t ← mm·t + (1−mm)·s``
+    (reference: engines/base_engine.py:155-167, inline per-parameter walk —
+    here a single fused tree-map inside the jitted step)."""
+    return jax.tree.map(
+        lambda t, s: t * mm + s.astype(t.dtype) * (1.0 - mm), teacher_params, student_params
+    )
+
+
+def make_mm_schedule(cfg, steps_per_epoch: int) -> Optional[Callable]:
+    """Cosine EMA-momentum schedule ``mm → 1.0``
+    (reference: modules/__init__.py:177-181)."""
+    if not cfg.mm_sche:
+        return None
+    return cosine_schedule(cfg.mm, 1.0, cfg.num_epoch * steps_per_epoch)

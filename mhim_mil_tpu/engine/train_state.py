@@ -1,0 +1,85 @@
+"""Train-state PyTree and optimizer factory.
+
+Replaces the reference's mutable-module training loop state (model, deepcopy
+teacher, torch optimizer/scheduler — reference: main.py:215-258,
+train_utils.py:39-95) with one immutable PyTree threaded through a jitted
+step: student params, teacher params (EMA), mutable model collections (the
+Merge module's ``global_q`` EMA buffer), optimizer state and the PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class MILTrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    model_state: Any  # mutable flax collections (e.g. {'ema': ...}); may be {}
+    teacher_params: Optional[Any]  # EMA teacher (MHIM) or generic model EMA
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def make_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
+    """Optimizer factory (reference: train_utils.py:58-69).
+
+    ``adam``: torch-style coupled L2 (weight decay added to the gradient
+    before the Adam moments). ``adamw``: decoupled.
+    """
+    parts = []
+    if cfg.clip_grad is not None:
+        parts.append(optax.clip_by_global_norm(cfg.clip_grad))
+    if cfg.opt == "adam":
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts += [optax.scale_by_adam(), optax.scale_by_learning_rate(lr_schedule)]
+    elif cfg.opt == "adamw":
+        parts.append(
+            optax.adamw(learning_rate=lr_schedule, weight_decay=cfg.weight_decay)
+        )
+    else:
+        raise NotImplementedError(cfg.opt)
+    tx = optax.chain(*parts)
+    if cfg.accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.accumulation_steps)
+    return tx
+
+
+def create_train_state(
+    cfg,
+    model,
+    rng: jax.Array,
+    sample_batch,
+    lr_schedule,
+    with_teacher: bool = False,
+) -> MILTrainState:
+    """Initialise params (+ optional teacher copy) from a sample batch."""
+    init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": init_rng, "dropout": dropout_rng, "mask": state_rng},
+        sample_batch["feats"],
+        sample_batch["mask"],
+        training=False,
+    )
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(cfg, lr_schedule)
+    teacher = jax.tree.map(jnp.copy, params) if with_teacher else None
+    return MILTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        teacher_params=teacher,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        tx=tx,
+        apply_fn=model.apply,
+    )

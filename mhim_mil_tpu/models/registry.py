@@ -1,0 +1,89 @@
+"""String-keyed model factory (reference: modules/__init__.py:56-175).
+
+``build_model(cfg)`` returns ``(module, family)`` where ``family`` selects the
+engine's forward dispatch, mirroring the reference's ``CommonMIL`` branches
+(reference: engines/common_mil.py:14-46): ``mhim``, ``mhim_pure``, ``clam``,
+``dsmil``, ``dtfd``, or ``default``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def build_model(cfg) -> Tuple[object, str]:
+    if cfg.model not in MODEL_REGISTRY:
+        raise ValueError(
+            f"unknown model '{cfg.model}'; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[cfg.model](cfg)
+
+
+# ---- registrations ----------------------------------------------------------
+
+
+@register_model("abmil")
+def _abmil(cfg):
+    from .abmil import ABMIL
+
+    return (
+        ABMIL(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            mil_norm=None if cfg.mil_norm in (None, "none") else cfg.mil_norm,
+            mil_bias=cfg.mil_bias,
+            gated=False,
+        ),
+        "default",
+    )
+
+
+@register_model("gabmil")
+def _gabmil(cfg):
+    from .abmil import ABMIL
+
+    return (
+        ABMIL(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            mil_bias=cfg.mil_bias,
+            gated=True,
+        ),
+        "default",
+    )
+
+
+@register_model("meanmil")
+def _meanmil(cfg):
+    from .mean_max import MeanMIL
+
+    return (
+        MeanMIL(cfg.input_dim, cfg.n_classes, cfg.inner_dim, cfg.dropout, cfg.act),
+        "default",
+    )
+
+
+@register_model("maxmil")
+def _maxmil(cfg):
+    from .mean_max import MaxMIL
+
+    return (
+        MaxMIL(cfg.input_dim, cfg.n_classes, cfg.inner_dim, cfg.dropout, cfg.act),
+        "default",
+    )

@@ -1,0 +1,130 @@
+"""Masked batched primitives for ragged MIL bags on TPU.
+
+All MIL kernels in this framework consume fixed-shape, length-bucketed bags
+``(x[B, N, D], mask[B, N])`` where ``mask`` marks valid instances.  The
+reference framework instead runs batch=1 with dynamic bag lengths and
+host-side set arithmetic (reference: modules/mhim_modules/masking.py:78-80),
+which forces a device→host sync per step and a recompile per bag size.  Here
+every op is a pure, statically-shaped XLA program: variable counts are traced
+*values* (never shapes), selections are boolean masks, and "shrinking" a bag
+is a stable-sort permutation that moves kept instances to the front.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# A large-but-finite negative fill. Using finfo.min instead of -inf keeps
+# softmax of fully-masked rows NaN-free after the final `where`.
+NEG_INF = -1e30
+
+
+def masked_softmax(logits: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
+    """Softmax over ``axis`` restricted to positions where ``mask`` is True.
+
+    Fully-masked rows return all zeros (not NaN). ``mask`` broadcasts against
+    ``logits``.
+    """
+    logits = jnp.where(mask, logits, NEG_INF)
+    # Subtract a finite max for stability even when everything is masked.
+    m = jnp.max(logits, axis=axis, keepdims=True)
+    unnorm = jnp.exp(logits - jax.lax.stop_gradient(m)) * mask
+    denom = jnp.sum(unnorm, axis=axis, keepdims=True)
+    return unnorm / jnp.maximum(denom, 1e-30)
+
+
+def masked_logsumexp(logits: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
+    logits = jnp.where(mask, logits, NEG_INF)
+    m = jnp.max(logits, axis=axis, keepdims=True)
+    s = jnp.sum(jnp.exp(logits - m) * mask, axis=axis)
+    return jnp.squeeze(m, axis) + jnp.log(jnp.maximum(s, 1e-30))
+
+
+def masked_mean(x: jax.Array, mask: jax.Array, axis: int = -2) -> jax.Array:
+    """Mean of ``x`` over ``axis`` counting only masked-in positions.
+
+    ``mask`` must broadcast to ``x``'s shape (typically ``mask[..., None]``
+    against ``x[B, N, D]`` with axis=-2).
+    """
+    mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    num = jnp.sum(x * mask, axis=axis)
+    den = jnp.maximum(jnp.sum(mask, axis=axis), 1.0)
+    return num / den
+
+
+def masked_max(x: jax.Array, mask: jax.Array, axis: int = -2) -> jax.Array:
+    mask = jnp.broadcast_to(mask, x.shape)
+    return jnp.max(jnp.where(mask, x, NEG_INF), axis=axis)
+
+
+def rank_by_score(scores: jax.Array, valid: jax.Array, descending: bool = True) -> jax.Array:
+    """Dense rank (0 = best) of each position by score among valid positions.
+
+    Invalid positions always rank after every valid one. Ties are broken by
+    position index (stable) — a deterministic replacement for the reference's
+    ``torch.topk(sorted=False)`` nondeterminism (reference:
+    modules/mhim_modules/masking.py:53-58; divergence documented in SURVEY.md §7).
+
+    Works on the last axis; leading axes are batched.
+    """
+    s = jnp.asarray(scores, jnp.float32)
+    fill = NEG_INF if descending else -NEG_INF
+    s = jnp.where(valid, s, fill)
+    key = -s if descending else s
+    order = jnp.argsort(key, axis=-1, stable=True)
+    ranks = jnp.argsort(order, axis=-1)
+    return ranks
+
+
+def topk_mask(
+    scores: jax.Array,
+    valid: jax.Array,
+    k: jax.Array,
+    largest: bool = True,
+) -> jax.Array:
+    """Boolean mask of the top-``k`` valid positions by score.
+
+    ``k`` may be a traced per-batch integer (shape broadcastable to the
+    leading axes of ``scores``): this replaces ``torch.topk`` with a
+    statically-shaped rank-and-threshold so the instance count can depend on
+    runtime bag sizes and cosine mask-ratio schedules without recompilation.
+    """
+    ranks = rank_by_score(scores, valid, descending=largest)
+    k = jnp.asarray(k)
+    sel = ranks < k[..., None] if k.ndim < ranks.ndim else ranks < k
+    return sel & valid
+
+
+def random_subset_mask(rng: jax.Array, pool: jax.Array, k: jax.Array) -> jax.Array:
+    """Uniformly choose ``k`` elements from the True positions of ``pool``.
+
+    ``k`` is a traced integer (broadcast over leading axes). Returns a boolean
+    mask that is a subset of ``pool``.
+    """
+    u = jax.random.uniform(rng, pool.shape)
+    return topk_mask(u, pool, k, largest=True)
+
+
+def compact(x: jax.Array, keep: jax.Array):
+    """Move kept instances to the front of the bag, preserving index order.
+
+    Returns ``(x_sorted, new_valid, perm)`` where ``x_sorted[b, :n_keep_b]``
+    are the kept instances of bag ``b`` in ascending original-index order and
+    ``new_valid[b, i] = i < n_keep_b``.
+
+    This is the TPU equivalent of the reference's
+    ``mask_ids = [keep_ids ‖ masked_ids]; gather(:len_keep)`` (reference:
+    modules/mhim_modules/masking.py:78-88,91-110): the reference's kept-ids
+    are also in ascending order (a Python set difference over ``range(ps)``),
+    so the compacted prefix is identical — only the representation of the
+    suffix differs (masked-out padding instead of a shorter tensor).
+    """
+    keep = keep.astype(bool)
+    # Stable argsort of "not kept" puts kept indices first, ascending.
+    perm = jnp.argsort(~keep, axis=-1, stable=True)
+    x_sorted = jnp.take_along_axis(x, perm[..., None], axis=-2)
+    n_keep = jnp.sum(keep, axis=-1, keepdims=True)
+    idx = jnp.arange(keep.shape[-1])[None, :]
+    new_valid = idx < n_keep
+    return x_sorted, new_valid, perm

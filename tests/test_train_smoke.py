@@ -1,0 +1,62 @@
+"""End-to-end convergence smoke test: ABMIL on the synthetic fixture."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhim_mil_tpu.config import Config
+from mhim_mil_tpu.data import make_synthetic_dataset, batch_bags
+from mhim_mil_tpu.engine.steps import make_train_step, make_eval_step
+from mhim_mil_tpu.engine.train_state import create_train_state
+from mhim_mil_tpu.models import build_model
+from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+
+def test_abmil_learns_synthetic():
+    cfg = Config(
+        model="abmil",
+        input_dim=32,
+        inner_dim=64,
+        n_classes=2,
+        batch_size=8,
+        num_epoch=20,
+        lr=1e-3,
+        lr_sche="const",
+        dropout=0.0,
+    )
+    slides = make_synthetic_dataset(
+        n_slides=48, bag_size=64, feat_dim=32, witness_rate=0.2, signal=2.0, seed=0
+    )
+    buckets = (64,)
+    model, family = build_model(cfg)
+    batches = list(
+        batch_bags(slides, cfg.batch_size, buckets, shuffle=True, drop_last=True)
+    )
+    steps_per_epoch = len(batches)
+    lr_sched = make_lr_schedule(cfg, steps_per_epoch)
+    sample = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample, lr_sched)
+    train_step = make_train_step(cfg, model, family, steps_per_epoch)
+
+    losses = []
+    for epoch in range(cfg.num_epoch):
+        for nb in batch_bags(
+            slides, cfg.batch_size, buckets, shuffle=True, drop_last=True, seed=epoch
+        ):
+            batch = {k: jnp.asarray(v) for k, v in nb.items()}
+            state, metrics = train_step(state, batch)
+            losses.append(float(metrics["loss"]))
+
+    assert losses[-1] < 0.25, f"did not converge: {losses[-5:]}"
+
+    # eval accuracy on the training set should be high
+    eval_step = make_eval_step(cfg, model, family)
+    correct = total = 0
+    for nb in batch_bags(slides, cfg.batch_size, buckets):
+        batch = {k: jnp.asarray(v) for k, v in nb.items()}
+        logits = np.asarray(eval_step(state, batch)["logits"])
+        pred = logits.argmax(-1)
+        bv = nb["bag_valid"]
+        correct += (pred[bv] == nb["target"][bv]).sum()
+        total += bv.sum()
+    assert correct / total > 0.9
