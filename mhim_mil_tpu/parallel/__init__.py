@@ -1,0 +1,3 @@
+from .mesh import make_mesh, batch_pspecs, shard_batch, replicate_tree
+
+__all__ = ["make_mesh", "batch_pspecs", "shard_batch", "replicate_tree"]
