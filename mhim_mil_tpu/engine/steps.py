@@ -22,8 +22,12 @@ from .train_state import MILTrainState
 from ..utils.schedules import cosine_schedule
 
 
-def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool = True):
+def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool = False):
     """Build the jitted train step for a model family.
+
+    ``donate`` buffer-donates the train state; off by default because donation
+    multiplies XLA compile time several-fold on the remote-TPU backend and the
+    MIL state (a few M params) is small next to the activations.
 
     Families (reference engines/common_mil.py:14-46):
       - ``default``: plain forward; model may return an ``aux_loss``

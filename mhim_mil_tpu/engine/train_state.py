@@ -63,7 +63,9 @@ def create_train_state(
 ) -> MILTrainState:
     """Initialise params (+ optional teacher copy) from a sample batch."""
     init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
-    variables = model.init(
+    # jit the init: eager flax init dispatches each op individually, which is
+    # painfully slow over a remote-device tunnel.
+    variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": init_rng, "dropout": dropout_rng, "mask": state_rng},
         sample_batch["feats"],
         sample_batch["mask"],

@@ -69,6 +69,26 @@ def _gabmil(cfg):
     )
 
 
+@register_model("transmil")
+def _transmil(cfg):
+    from .transformer import TransMIL
+
+    return (
+        TransMIL(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            mil_norm=None if cfg.mil_norm in (None, "none") else cfg.mil_norm,
+            mil_bias=cfg.mil_bias,
+            pos=cfg.pos if cfg.pos else "ppeg",
+            n_heads=cfg.n_heads,
+        ),
+        "default",
+    )
+
+
 @register_model("meanmil")
 def _meanmil(cfg):
     from .mean_max import MeanMIL

@@ -1,0 +1,196 @@
+"""Nystrom transformer stack: NystromMSA module, TransLayer, TransMIL.
+
+Reference: modules/nystrom_attention.py:30-152 (attention),
+modules/transmil.py:23-175 (TransLayer + TransMIL),
+modules/mhim_modules/baseline.py:195-288 (the MHIM ``selfattn`` flavour).
+Batched + masked TPU re-design over ``(x[B,N,D], mask[B,N])``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.nystrom import nystrom_attention
+from .layers import FeatureEmbed, dense, xavier_normal
+from .positional import PPEG, PEG, SINCOS
+
+
+class NystromMSA(nn.Module):
+    """Multi-head Nystrom self-attention with depthwise-conv value residual.
+
+    Reference: modules/nystrom_attention.py:30-152. ``num_landmarks`` defaults
+    to dim//2 at the TransLayer call site (transmil.py:27-35).
+    """
+
+    dim: int = 512
+    heads: int = 8
+    dim_head: int = 64
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_conv_kernel: int = 33
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        mask,
+        *,
+        training: bool = False,
+        return_attn: bool = False,
+        no_norm: bool = False,
+    ):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+
+        qkv = dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (
+            t.reshape(b, n, h, dh).transpose(0, 2, 1, 3) for t in (q, k, v)
+        )
+        q = q * dh ** -0.5
+
+        out, attn = nystrom_attention(
+            q,
+            k,
+            v,
+            mask,
+            num_landmarks=self.num_landmarks,
+            pinv_iters=self.pinv_iterations,
+            return_attn=return_attn,
+            no_norm=no_norm,
+        )
+
+        if self.residual:
+            # Depthwise conv over the sequence axis, per head, shared across
+            # dh (reference res_conv: Conv2d(heads, heads, (33,1), groups=heads)).
+            v_img = jnp.where(mask[:, None, :, None], v, 0).transpose(0, 2, 3, 1)
+            res = nn.Conv(
+                h,
+                (self.residual_conv_kernel, 1),
+                padding="SAME",
+                feature_group_count=h,
+                use_bias=False,
+                kernel_init=xavier_normal,
+                name="res_conv",
+            )(v_img)
+            out = out + res.transpose(0, 3, 1, 2)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = dense(self.dim, name="to_out")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not training)(out)
+        out = jnp.where(mask[..., None], out, 0)
+
+        if return_attn:
+            # v for the pseudo-score path excludes the cls token (reference
+            # nystrom_attention.py:150 returns v[:,:,-n+1:]).
+            return out, attn, v[:, :, 1:]
+        return out
+
+
+class TransLayer(nn.Module):
+    """Pre-norm Nystrom block: ``x + MSA(LN(x))`` (reference transmil.py:23-47)."""
+
+    dim: int = 512
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, *, training=False, need_attn=False, no_norm=False):
+        msa = NystromMSA(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim // self.heads,
+            num_landmarks=self.dim // 2,
+            name="attn",
+        )
+        normed = nn.LayerNorm(name="norm")(x)
+        if need_attn:
+            z, attn, v = msa(
+                normed, mask, training=training, return_attn=True, no_norm=no_norm
+            )
+            return x + z, attn, v
+        z = msa(normed, mask, training=training)
+        return x + z
+
+
+class TransMIL(nn.Module):
+    """``transmil``: embed → cls token → TransLayer → PPEG → TransLayer →
+    LN → cls head (reference: modules/transmil.py:66-175).
+
+    The reference square-pads the bag by repeating its first tokens
+    (transmil.py:124-127); here padding is masked instead — attention and the
+    PPEG grid never see duplicate instances.
+    """
+
+    input_dim: int = 1024
+    n_classes: int = 2
+    inner_dim: int = 512
+    dropout: float = 0.25
+    act: str = "relu"
+    mil_norm: Optional[str] = None
+    mil_bias: bool = True
+    pos: str = "ppeg"
+    n_heads: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        feats,
+        mask,
+        *,
+        training: bool = False,
+        return_attn: bool = False,
+        coords=None,
+    ):
+        b = feats.shape[0]
+        x = feats
+        if self.mil_norm == "ln":
+            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+        x = FeatureEmbed(
+            self.inner_dim, self.act, 0.25 if self.dropout else 0.0, self.mil_bias
+        )(x, training=training)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(1e-6), (1, 1, self.inner_dim)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.inner_dim)), x], axis=1)
+        full_mask = jnp.concatenate(
+            [jnp.ones((b, 1), bool), mask.astype(bool)], axis=1
+        )
+
+        attns = []
+        layer1 = TransLayer(self.inner_dim, self.n_heads, name="layer1")
+        if return_attn:
+            x, a, _ = layer1(x, full_mask, training=training, need_attn=True)
+            attns.append(a[:, :, 1:])  # drop cls column
+        else:
+            x = layer1(x, full_mask, training=training)
+
+        if self.pos == "ppeg":
+            body = PPEG(self.inner_dim, use_bias=self.mil_bias, name="pos_layer")(
+                x[:, 1:], mask
+            )
+            x = jnp.concatenate([x[:, :1], body], axis=1)
+
+        layer2 = TransLayer(self.inner_dim, self.n_heads, name="layer2")
+        if return_attn:
+            x, a, _ = layer2(x, full_mask, training=training, need_attn=True)
+            attns.append(a[:, :, 1:])
+        else:
+            x = layer2(x, full_mask, training=training)
+
+        x = nn.LayerNorm(name="norm")(x)[:, 0]
+        logits = dense(self.n_classes, self.mil_bias, name="classifier")(x)
+
+        out = {"logits": logits, "bag_feat": x}
+        if return_attn:
+            out["attn"] = attns[-1]  # [B,H,N]
+            out["attns"] = attns
+        return out
