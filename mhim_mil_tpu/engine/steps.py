@@ -55,6 +55,10 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         logits = out["logits"]
         main = criterion(logits, batch)
         aux = out.get("aux_loss", 0.0)
+        if "inst_logits_bag" in out:
+            # DSMIL max-pooled instance loss (reference: modules/dsmil.py:163-170,
+            # weighted by aux_alpha in engines/base_engine.py:99-100).
+            aux = aux + criterion(out["inst_logits_bag"], batch)
         loss = cfg.main_alpha * main + cfg.aux_alpha * aux
         return loss, (new_model_state, main, aux)
 

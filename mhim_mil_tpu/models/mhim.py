@@ -1,0 +1,377 @@
+"""MHIM — masked hard-instance-mining teacher/student MIL (the flagship).
+
+Reference: modules/mhim.py:12-378. TPU re-design:
+
+- The teacher pass, attention→pseudo-score conversion, layered top-k masking,
+  merge, student pass, consistency loss, optimizer update and teacher EMA all
+  run inside ONE jitted train step (the reference splits them across Python
+  engine hooks with a host-side set-ops sync per step —
+  engines/common_mil.py:14-31, engines/base_engine.py:155-167).
+- Masking never changes shapes: the removal set is a boolean mask
+  (ops/masking.py); when the Merge module is enabled the kept tokens are
+  compacted into a *static* ``floor(N·merge_ratio) + k`` slice — a real FLOP
+  shrink with zero dynamic shapes.
+- Teacher = a second params PyTree (EMA of the student); the Merge module's
+  ``global_q`` EMA buffer is a flax ``buffers`` collection threaded through
+  the train state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+import optax
+
+from ..ops.masked import compact
+from ..ops.masking import MaskSchedule, layered_mask
+from ..engine.losses import soft_target_ce, build_criterion
+from ..engine.train_state import MILTrainState, make_optimizer
+from ..utils.schedules import cosine_schedule
+from .layers import FeatureEmbed, dense
+from .baselines import DAttentionBaseline, SAttentionBaseline
+from .dsmil import DSMILHead
+from .merge import Merge
+
+
+def _cam_score(features: jax.Array, kernel: jax.Array, mask: jax.Array) -> jax.Array:
+    """Instance pseudo-score: max class probability of the attention-weighted
+    instance feature pushed through the classifier weights
+    (reference: modules/mhim_modules/scoring.py:37-58 — the reference adds
+    only ``bias[0]``, a constant shift that cancels in the class softmax).
+    """
+    cam = features.astype(jnp.float32) @ kernel.astype(jnp.float32)  # [B,N,C]
+    cam = jax.nn.softmax(cam, axis=-1)
+    score = jnp.max(cam, axis=-1)  # [B,N]
+    return jnp.where(mask, score, 0.0)
+
+
+class MHIM(nn.Module):
+    input_dim: int = 1024
+    mlp_dim: int = 512
+    n_classes: int = 2
+    dropout: float = 0.25
+    act: str = "relu"
+    baseline: str = "selfattn"  # selfattn | attn | dsmil
+    heads: int = 8
+    da_act: str = "gelu"
+    # masking schedule (reference mhim.py:55-61)
+    mask_ratio: float = 0.0
+    mask_ratio_l: float = 0.0
+    mask_ratio_h: float = 0.0
+    mask_ratio_hr: float = 1.0
+    msa_fusion: str = "vote"
+    attn_layer: int = 0
+    # scoring / losses
+    attn2score: bool = True
+    temp_t: float = 1.0
+    temp_s: float = 1.0
+    # merge
+    merge_enable: bool = True
+    merge_k: int = 1
+    merge_mm: float = 0.9998
+    merge_ratio: float = 0.2
+    merge_test: bool = False
+
+    def setup(self):
+        self.feature = FeatureEmbed(
+            self.mlp_dim, self.act, self.dropout, name="feature"
+        )
+        if self.baseline == "selfattn":
+            self.online_encoder = SAttentionBaseline(self.mlp_dim, self.heads)
+        elif self.baseline == "attn":
+            self.online_encoder = DAttentionBaseline(self.mlp_dim, self.da_act)
+        elif self.baseline == "dsmil":
+            self.online_encoder = DSMILHead(
+                self.mlp_dim, self.n_classes, cls_attn=self.attn2score
+            )
+        else:
+            raise ValueError(f"unknown baseline: {self.baseline}")
+        if self.baseline != "dsmil":
+            self.predictor = dense(self.n_classes, name="predictor")
+        if self.merge_enable:
+            self.merge = Merge(
+                self.mlp_dim,
+                k=self.merge_k,
+                g_q_mm=self.merge_mm,
+                merge_ratio=self.merge_ratio,
+            )
+
+    @property
+    def sched(self) -> MaskSchedule:
+        return MaskSchedule(
+            mask_ratio=self.mask_ratio,
+            mask_ratio_l=self.mask_ratio_l,
+            mask_ratio_h=self.mask_ratio_h,
+            mask_ratio_hr=self.mask_ratio_hr,
+            msa_fusion=self.msa_fusion,
+        )
+
+    # ---- teacher ------------------------------------------------------------
+
+    def forward_teacher(self, feats, mask):
+        """Teacher pass (reference mhim.py:181-227): full bag, eval-mode
+        internals, returns ``(cls_feat, mining_score)``. Gradients are cut by
+        the caller (teacher params are EMA state, never differentiated).
+        """
+        x = self.feature(feats, training=False)
+        out = self.online_encoder(x, mask, training=False, return_attn=True)
+
+        if self.baseline == "dsmil":
+            return out["bag_feat"], out["attn"]  # attn = max class logit [B,N]
+
+        cls_feat = out["cls_feat"]
+        if self.attn2score:
+            kernel = self.predictor.variables["params"]["kernel"]  # [D,C]
+            if self.baseline == "selfattn":
+                # reference scoring.py:9-34: to_out-projected attn-weighted V.
+                score = _cam_score(out["scored_act"], kernel, mask)
+            else:
+                feats_w = out["act"] * out["attn"][..., None]
+                score = _cam_score(feats_w, kernel, mask)
+            return cls_feat, score
+        # raw attention: selfattn exposes per-layer lists (reference mhim.py:224-226)
+        attn = out["attns"][self.attn_layer] if "attns" in out else out["attn"]
+        return cls_feat, attn
+
+    # ---- student ------------------------------------------------------------
+
+    def __call__(
+        self,
+        feats,
+        mask,
+        attn=None,
+        teacher_cls_feat=None,
+        mask_ratio_h_now=None,
+        *,
+        training: bool = True,
+    ):
+        """Student training pass (reference mhim.py:318-378): mask hard
+        instances by teacher attention, merge the masked remainder, encode,
+        predict, and pay the consistency loss against the teacher feature."""
+        x = self.feature(x=feats, training=training)
+        mask = mask.astype(bool)
+        b, n, _ = x.shape
+
+        if attn is not None:
+            removed = layered_mask(
+                self.make_rng("mask"), attn, mask, self.sched, mask_ratio_h_now
+            )
+            visible = mask & ~removed
+        else:
+            visible = mask
+
+        if self.merge_enable:
+            keep_sel, merged = self.merge(x, visible, training=training)
+            x_c, new_valid, _ = compact(x, keep_sel)
+            s_len = max(1, int(n * self.merge_ratio))
+            x = jnp.concatenate([x_c[:, :s_len], merged], axis=1)
+            valid = jnp.concatenate(
+                [new_valid[:, :s_len], jnp.ones((b, self.merge_k), bool)], axis=1
+            )
+        else:
+            valid = visible
+
+        out = self.online_encoder(x, valid, training=training)
+
+        if self.baseline == "dsmil":
+            logits = 0.5 * out["bag_logits"] + 0.5 * out["inst_logits"]
+            cls_feat = out["bag_feat"]
+        else:
+            cls_feat = out["cls_feat"]
+            logits = self.predictor(cls_feat)
+
+        aux_loss = 0.0
+        if teacher_cls_feat is not None:
+            aux_loss = soft_target_ce(
+                cls_feat,
+                jax.lax.stop_gradient(teacher_cls_feat),
+                self.temp_t,
+                self.temp_s,
+            )
+
+        return {
+            "logits": logits,
+            "aux_loss": aux_loss,
+            "patch_num": jnp.sum(mask, axis=-1),
+            "keep_num": jnp.sum(valid, axis=-1),
+        }
+
+    # ---- inference ----------------------------------------------------------
+
+    def forward_test(self, feats, mask, return_attn: bool = False, no_norm: bool = False):
+        """Inference pass (reference mhim.py:229-272)."""
+        x = self.feature(feats, training=False)
+        mask = mask.astype(bool)
+        if self.merge_enable and self.merge_test:
+            _, merged = self.merge(x, mask, training=False)
+            x = jnp.concatenate([x, merged], axis=1)
+            mask = jnp.concatenate(
+                [mask, jnp.ones((x.shape[0], self.merge_k), bool)], axis=1
+            )
+        out = self.online_encoder(
+            x, mask, training=False, return_attn=return_attn, no_norm=no_norm
+        )
+        if self.baseline == "dsmil":
+            logits = 0.5 * out["bag_logits"] + 0.5 * out["inst_logits"]
+        else:
+            logits = self.predictor(out["cls_feat"])
+        res = {"logits": logits}
+        if return_attn:
+            res["attn"] = out["attn"]
+        return res
+
+    def pure(self, feats, mask, *, training: bool = False):
+        """Baseline-only pass, no mining/merging — the ``mhim_pure`` model
+        used for teacher pretraining (reference mhim.py:274-298)."""
+        x = self.feature(feats, training=training)
+        out = self.online_encoder(x, mask, training=training)
+        if self.baseline == "dsmil":
+            logits = 0.5 * out["bag_logits"] + 0.5 * out["inst_logits"]
+        else:
+            logits = self.predictor(out["cls_feat"])
+        return {
+            "logits": logits,
+            "aux_loss": 0.0,
+            "patch_num": jnp.sum(mask, axis=-1),
+            "keep_num": jnp.sum(mask, axis=-1),
+        }
+
+
+# ---- state + steps ----------------------------------------------------------
+
+
+def create_mhim_state(
+    cfg, model: MHIM, rng: jax.Array, sample_batch, lr_schedule,
+    teacher_params=None,
+) -> MILTrainState:
+    """Init student params (+ teacher copy) from a sample batch.
+
+    ``teacher_params`` overrides the initial teacher (the reference loads a
+    pretrained ``mhim_pure`` checkpoint via ``--teacher_init``,
+    modules/__init__.py:176-214)."""
+    init_rng, drop_rng, mask_rng, state_rng = jax.random.split(rng, 4)
+    variables = jax.jit(
+        partial(model.init, training=True), static_argnames=()
+    )(
+        {"params": init_rng, "dropout": drop_rng, "mask": mask_rng},
+        sample_batch["feats"],
+        sample_batch["mask"],
+        jnp.zeros(sample_batch["mask"].shape, jnp.float32),  # attn placeholder
+    )
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(cfg, lr_schedule)
+    teacher = (
+        jax.tree.map(jnp.copy, params) if teacher_params is None else teacher_params
+    )
+    return MILTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        teacher_params=teacher,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = False):
+    """One fused XLA program: teacher forward → mining mask → student forward
+    → CE + consistency → update → teacher EMA (reference splits this across
+    engines/common_mil.py:14-31 and engines/base_engine.py:46-167)."""
+    criterion = build_criterion(cfg)
+    total_steps = max(cfg.num_epoch * steps_per_epoch, 1)
+    is_pure = cfg.model == "mhim_pure"
+
+    mrh_sche = (
+        cosine_schedule(cfg.mask_ratio_h, 0.0, total_steps) if cfg.mrh_sche else None
+    )
+    mm_sche = cosine_schedule(cfg.mm, 1.0, total_steps) if cfg.mm_sche else None
+
+    def loss_fn(params, model_state, teacher_params, rng, batch, step):
+        drop_rng, mask_rng = jax.random.split(rng)
+        rngs = {"dropout": drop_rng, "mask": mask_rng}
+
+        if is_pure:
+            out, new_model_state = model.apply(
+                {"params": params, **model_state},
+                batch["feats"], batch["mask"],
+                training=True, rngs=rngs,
+                mutable=list(model_state.keys()),
+                method=MHIM.pure,
+            )
+        else:
+            cls_tea, attn = model.apply(
+                {"params": teacher_params, **model_state},
+                batch["feats"], batch["mask"],
+                method=MHIM.forward_teacher,
+            )
+            cls_tea = None if cfg.aux_alpha == 0.0 else jax.lax.stop_gradient(cls_tea)
+            attn = jax.lax.stop_gradient(attn)
+            mrh = mrh_sche(step) if mrh_sche is not None else None
+            out, new_model_state = model.apply(
+                {"params": params, **model_state},
+                batch["feats"], batch["mask"], attn, cls_tea, mrh,
+                training=True, rngs=rngs,
+                mutable=list(model_state.keys()),
+            )
+        main = criterion(out["logits"], batch)
+        loss = cfg.main_alpha * main + cfg.aux_alpha * out["aux_loss"]
+        metrics = {
+            "main_loss": main,
+            "aux_loss": out["aux_loss"],
+            "patch_num": jnp.mean(out["patch_num"].astype(jnp.float32)),
+            "keep_num": jnp.mean(out["keep_num"].astype(jnp.float32)),
+        }
+        return loss, (new_model_state, metrics)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: MILTrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, (new_model_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.model_state, state.teacher_params, step_rng,
+          batch, state.step)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # Teacher EMA (reference base_engine.py:155-167).
+        mm = mm_sche(state.step) if mm_sche is not None else cfg.mm
+        new_teacher = state.teacher_params
+        if not is_pure:
+            new_teacher = jax.tree.map(
+                lambda t, s: t * mm + s.astype(t.dtype) * (1.0 - mm),
+                state.teacher_params, new_params,
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_model_state,
+            teacher_params=new_teacher,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        metrics = {"loss": loss, "mm": jnp.asarray(mm, jnp.float32), **metrics}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_mhim_eval_step(cfg, model: MHIM, use_teacher: bool = False):
+    """Jitted inference via ``forward_test`` (reference common_mil.py:56-63)."""
+
+    @jax.jit
+    def eval_step(state: MILTrainState, batch):
+        params = state.teacher_params if use_teacher else state.params
+        out = model.apply(
+            {"params": params, **state.model_state},
+            batch["feats"], batch["mask"],
+            method=MHIM.forward_test,
+        )
+        return {"logits": out["logits"].astype(jnp.float32)}
+
+    return eval_step

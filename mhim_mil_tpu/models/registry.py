@@ -69,6 +69,64 @@ def _gabmil(cfg):
     )
 
 
+@register_model("dsmil")
+def _dsmil(cfg):
+    from .dsmil import DSMIL
+
+    return (
+        DSMIL(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            mil_norm=None if cfg.mil_norm in (None, "none") else cfg.mil_norm,
+            mil_bias=cfg.mil_bias,
+        ),
+        "dsmil",
+    )
+
+
+def _mhim_common(cfg, pure: bool):
+    from .mhim import MHIM
+
+    # mhim_pure: baseline shell only — no mining, no merge
+    # (reference: modules/__init__.py:101-102).
+    return MHIM(
+        input_dim=cfg.input_dim,
+        mlp_dim=cfg.inner_dim,
+        n_classes=cfg.n_classes,
+        dropout=cfg.dropout,
+        act=cfg.act,
+        baseline=cfg.baseline,
+        heads=cfg.n_heads,
+        da_act=cfg.da_act,
+        mask_ratio=0.0 if pure else cfg.mask_ratio,
+        mask_ratio_l=0.0 if pure else cfg.mask_ratio_l,
+        mask_ratio_h=0.0 if pure else cfg.mask_ratio_h,
+        mask_ratio_hr=cfg.mask_ratio_hr,
+        msa_fusion=cfg.msa_fusion,
+        attn_layer=cfg.attn_layer,
+        attn2score=cfg.attn2score,
+        temp_t=cfg.temp_t,
+        merge_enable=False if pure else cfg.merge_enable,
+        merge_k=cfg.merge_k,
+        merge_mm=cfg.merge_mm,
+        merge_ratio=cfg.merge_ratio,
+        merge_test=cfg.merge_test,
+    )
+
+
+@register_model("mhim")
+def _mhim(cfg):
+    return _mhim_common(cfg, pure=False), "mhim"
+
+
+@register_model("mhim_pure")
+def _mhim_pure(cfg):
+    return _mhim_common(cfg, pure=True), "mhim_pure"
+
+
 @register_model("transmil")
 def _transmil(cfg):
     from .transformer import TransMIL

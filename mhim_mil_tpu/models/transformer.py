@@ -82,16 +82,22 @@ class NystromMSA(nn.Module):
             )(v_img)
             out = out + res.transpose(0, 3, 1, 2)
 
+        to_out = dense(self.dim, name="to_out")
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        out = dense(self.dim, name="to_out")(out)
+        out = to_out(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=not training)(out)
         out = jnp.where(mask[..., None], out, 0)
 
         if return_attn:
-            # v for the pseudo-score path excludes the cls token (reference
-            # nystrom_attention.py:150 returns v[:,:,-n+1:]).
-            return out, attn, v[:, :, 1:]
+            # Pseudo-score support: project the cls-attention-weighted values
+            # of the instance tokens (index 1:) through this layer's to_out —
+            # the "features" of reference scoring.py:22-27 (token 0 is cls;
+            # the reference's front padding puts them at -n+1:).
+            v_inst = v[:, :, 1:]  # [B,H,N-1,dh]
+            scored = (v_inst * attn[:, :, 1:, None]).transpose(0, 2, 1, 3)
+            scored = to_out(scored.reshape(b, n - 1, inner))  # [B,N-1,dim]
+            return out, attn, v_inst, scored
         return out
 
 
@@ -112,10 +118,10 @@ class TransLayer(nn.Module):
         )
         normed = nn.LayerNorm(name="norm")(x)
         if need_attn:
-            z, attn, v = msa(
+            z, attn, v, scored = msa(
                 normed, mask, training=training, return_attn=True, no_norm=no_norm
             )
-            return x + z, attn, v
+            return x + z, attn, v, scored
         z = msa(normed, mask, training=training)
         return x + z
 
@@ -168,7 +174,7 @@ class TransMIL(nn.Module):
         attns = []
         layer1 = TransLayer(self.inner_dim, self.n_heads, name="layer1")
         if return_attn:
-            x, a, _ = layer1(x, full_mask, training=training, need_attn=True)
+            x, a, *_ = layer1(x, full_mask, training=training, need_attn=True)
             attns.append(a[:, :, 1:])  # drop cls column
         else:
             x = layer1(x, full_mask, training=training)
@@ -181,7 +187,7 @@ class TransMIL(nn.Module):
 
         layer2 = TransLayer(self.inner_dim, self.n_heads, name="layer2")
         if return_attn:
-            x, a, _ = layer2(x, full_mask, training=training, need_attn=True)
+            x, a, *_ = layer2(x, full_mask, training=training, need_attn=True)
             attns.append(a[:, :, 1:])
         else:
             x = layer2(x, full_mask, training=training)
