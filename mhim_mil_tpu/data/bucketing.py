@@ -69,7 +69,11 @@ def batch_bags(
             feats = np.zeros((batch_size, b, slides[0]["feats"].shape[1]), np.float32)
             mask = np.zeros((batch_size, b), bool)
             bag_valid = np.zeros((batch_size,), bool)
-            extras = {k: np.zeros((batch_size,), np.int32) for k in extra_keys}
+            # survival event times are continuous; all other labels are ints
+            extras = {
+                k: np.zeros((batch_size,), np.float32 if k == "event" else np.int32)
+                for k in extra_keys
+            }
             for j, idx in enumerate(chunk):
                 f, m = pad_bag(slides[idx]["feats"], b)
                 feats[j], mask[j], bag_valid[j] = f, m, True

@@ -1,0 +1,137 @@
+"""Feature-store readers: CLAM ``pt_files/*.pt`` + ``h5_files/*.h5``.
+
+Reference: datasets/dataset_feat.py:10-260 (FeatClsDataset / FeatSurvDataset)
+and datasets/data_utils.py:86-162 (h5 coords → integer grid positions).
+Host-side IO only — features land in numpy and enter the device through the
+length-bucketed batcher (data/bucketing.py). ``.pt`` tensors are read with
+CPU torch (baked into the image) and converted to numpy immediately.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .splits import map_labels
+
+
+def load_pt_features(path: str) -> np.ndarray:
+    """Read one ``pt_files/<slide>.pt`` bag as float32 ``[N, D]``."""
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=True)
+    return np.asarray(t.float().numpy(), np.float32)
+
+
+def load_h5_features(path: str):
+    """Read a CLAM ``h5_files/<slide>.h5``: returns (features or None, coords
+    or None)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        feats = np.asarray(f["features"], np.float32) if "features" in f else None
+        coords = np.asarray(f["coords"]) if "coords" in f else None
+        attrs = dict(f["coords"].attrs) if "coords" in f else {}
+    return feats, coords, attrs
+
+
+def coords_to_grid(coords: np.ndarray, attrs: Dict) -> np.ndarray:
+    """Convert level-0 pixel coords to integer patch-grid positions
+    (reference get_seq_pos_fn data_utils.py:110-162): divide by
+    ``patch_size_level0 = patch_size * downsample`` and shift to origin."""
+    patch_size = int(attrs.get("patch_size", 256))
+    downsample = attrs.get("downsample", [1, 1])
+    step = patch_size * int(np.asarray(downsample).reshape(-1)[0])
+    grid = (coords // max(step, 1)).astype(np.int64)
+    grid -= grid.min(axis=0, keepdims=True)
+    return grid
+
+
+def match_slides(patient_id: str, files: Sequence[str]) -> List[str]:
+    """All feature files belonging to a patient/slide id — substring match
+    over the store listing (reference dataset_feat.py:31-44)."""
+    return sorted(f for f in files if patient_id in f)
+
+
+class FeatureBagStore:
+    """Lazy bag store over a CLAM-layout feature root.
+
+    Layout: ``root/pt_files/*.pt`` (features) and optionally
+    ``root/h5_files/*.h5`` (coords). ``persistence`` preloads everything to
+    RAM (reference dataset_feat.py:36-41).
+    """
+
+    def __init__(self, root: str, h5_root: Optional[str] = None, persistence: bool = False):
+        self.pt_dir = os.path.join(root, "pt_files") if os.path.isdir(
+            os.path.join(root, "pt_files")
+        ) else root
+        self.h5_dir = h5_root or os.path.join(root, "h5_files")
+        self.files = sorted(
+            f for f in os.listdir(self.pt_dir) if f.endswith(".pt")
+        )
+        self.persistence = persistence
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def load(self, fname: str) -> np.ndarray:
+        if fname in self._cache:
+            return self._cache[fname]
+        feats = load_pt_features(os.path.join(self.pt_dir, fname))
+        if self.persistence:
+            self._cache[fname] = feats
+        return feats
+
+    def coords(self, fname: str) -> Optional[np.ndarray]:
+        h5 = os.path.join(self.h5_dir, fname.replace(".pt", ".h5"))
+        if not os.path.exists(h5):
+            return None
+        _, coords, attrs = load_h5_features(h5)
+        return coords_to_grid(coords, attrs) if coords is not None else None
+
+
+def build_cls_slides(
+    store: FeatureBagStore,
+    ids: Sequence[str],
+    labels: Sequence,
+    dataset: str,
+    with_pos: bool = False,
+) -> List[Dict]:
+    """Classification slides: one dict per matching feature file
+    (reference FeatClsDataset dataset_feat.py:10-111)."""
+    int_labels = map_labels(labels, dataset)
+    slides = []
+    for pid, lab in zip(ids, int_labels):
+        for f in match_slides(str(pid), store.files):
+            s = {"feats": store.load(f), "target": int(lab), "slide": f}
+            if with_pos:
+                pos = store.coords(f)
+                if pos is not None:
+                    s["pos"] = pos
+            slides.append(s)
+    return slides
+
+
+def build_surv_slides(
+    store: FeatureBagStore,
+    df,
+) -> List[Dict]:
+    """Survival slides: patient-level concat of all matching bags
+    (reference FeatSurvDataset dataset_feat.py:113-260); carries the hazard
+    bin (Label), censorship (1 - Status) and the raw event time."""
+    slides = []
+    for _, row in df.iterrows():
+        files = match_slides(str(row["ID"]), store.files)
+        if not files:
+            continue
+        feats = np.concatenate([store.load(f) for f in files], axis=0)
+        slides.append(
+            {
+                "feats": feats,
+                "target": int(row["Label"]),
+                "censorship": int(1 - int(row["Status"])),
+                "event": float(row["Event"]),
+                "slide": files[0],
+            }
+        )
+    return slides

@@ -1,0 +1,342 @@
+"""Experiment driver: k-fold CV, epoch loop, early stop, best checkpoints.
+
+Reference: main.py:20-187 (``main``) and :189-428 (``one_fold``). The train
+loop itself is one jitted step; this module is the thin host orchestration
+around it — fold splits, epoch iteration, validation (+ teacher validation
+for MHIM), early stopping on val loss, best-checkpoint selection by the task
+metric (AUC / c-index), final test with bootstrap CIs, and cross-fold
+mean±std aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.bucketing import batch_bags
+from ..data.synthetic import make_synthetic_dataset, make_synthetic_survival_dataset
+from ..models import build_model
+from ..utils.early_stopping import EarlyStopping
+from ..utils.checkpoint import save_checkpoint
+from ..utils.schedules import make_lr_schedule
+from . import metrics as M
+from .losses import surv_risk
+from .steps import make_train_step, make_eval_step
+from .train_state import create_train_state
+
+
+def is_survival(cfg: Config) -> bool:
+    return cfg.datasets.lower().startswith("surv") or cfg.loss == "nll_surv"
+
+
+# ---- dataset assembly ---------------------------------------------------------
+
+
+def _synth_folds(cfg: Config) -> List[Tuple[List, List, List]]:
+    """Synthetic fixture folds (the reference has no test fixtures at all —
+    SURVEY.md §4; 'synth' is this framework's convergence fixture)."""
+    from ..data.splits import stratified_kfold_indices
+
+    if is_survival(cfg):
+        slides = make_synthetic_survival_dataset(
+            n_slides=cfg.synth_n_slides, bag_size=cfg.synth_bag_size,
+            feat_dim=cfg.input_dim, n_bins=cfg.n_classes, seed=cfg.seed,
+        )
+    else:
+        slides = make_synthetic_dataset(
+            n_slides=cfg.synth_n_slides, bag_size=cfg.synth_bag_size,
+            feat_dim=cfg.input_dim, n_classes=cfg.n_classes, seed=cfg.seed,
+        )
+    labels = np.asarray([s["target"] for s in slides])
+    folds = stratified_kfold_indices(labels, max(cfg.cv_fold, 2))
+    out = []
+    for f in range(max(cfg.cv_fold, 2)):
+        test_idx = set(folds[f].tolist())
+        train = [s for i, s in enumerate(slides) if i not in test_idx]
+        test = [s for i, s in enumerate(slides) if i in test_idx]
+        out.append((train, test, test))
+    return out[: cfg.cv_fold] if cfg.cv_fold > 1 else [out[0]]
+
+
+def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
+    """Real feature-store folds from a dataset CSV (reference main.py:30-63)."""
+    from ..data.readers import FeatureBagStore, build_cls_slides, build_surv_slides
+    from ..data.splits import read_csv, get_kfold, split_by_column
+
+    surv = is_survival(cfg)
+    df = read_csv(cfg.csv_path, survival=surv)
+    store = FeatureBagStore(
+        cfg.dataset_root, h5_root=cfg.h5_path, persistence=cfg.persistence
+    )
+
+    def to_slides(sub):
+        if surv:
+            return build_surv_slides(store, sub)
+        return build_cls_slides(
+            store, sub["ID"].tolist(), sub["Label"].tolist(), cfg.datasets,
+            with_pos=cfg.pos == "sincos",
+        )
+
+    if "Split" in df.columns and not cfg.random_fold:
+        tr, te, va = split_by_column(df, cfg.val2test)
+        if cfg.val_ratio > 0 and va is te:
+            from ..data.splits import data_split
+
+            va, tr = data_split(cfg.seed, tr, cfg.val_ratio)
+        return [(to_slides(tr), to_slides(te), to_slides(va))]
+
+    train_dfs, test_dfs, val_dfs = get_kfold(
+        df, cfg.cv_fold, cfg.seed, cfg.val_ratio, val2test=cfg.val2test
+    )
+    return [
+        (to_slides(tr), to_slides(te), to_slides(va))
+        for tr, te, va in zip(train_dfs, test_dfs, val_dfs)
+    ]
+
+
+def get_folds(cfg: Config) -> List[Tuple[List, List, List]]:
+    """Returns [(train_slides, test_slides, val_slides)] per fold."""
+    if cfg.datasets in ("synth", "surv_synth") or not cfg.csv_path:
+        return _synth_folds(cfg)
+    return _csv_folds(cfg)
+
+
+# ---- evaluation ---------------------------------------------------------------
+
+
+def _iter_batches(cfg: Config, slides, shuffle: bool, seed: int, batch_size=None):
+    surv = is_survival(cfg)
+    extra = ("target", "censorship", "event") if surv else ("target",)
+    return batch_bags(
+        slides,
+        batch_size or cfg.batch_size,
+        cfg.bucket_sizes,
+        shuffle=shuffle,
+        seed=seed,
+        extra_keys=extra,
+    )
+
+
+def evaluate(cfg: Config, eval_step, state, slides, fold: int, bootstrap: bool):
+    """Run the jitted eval forward over a split and compute the metric row
+    (reference BaseTrainer.validate engines/base_engine.py:234-329 +
+    get_metric_val metrics.py:161-263)."""
+    logits_all, targets, valid_all = [], [], []
+    cens, events = [], []
+    for b in _iter_batches(cfg, slides, shuffle=False, seed=0):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        out = eval_step(state, jb)
+        logits = np.asarray(out["logits"], np.float32)
+        if "sub_logits" in out:  # DSMIL dual-head fusion (common_mil.py:66-67)
+            logits = 0.5 * logits + 0.5 * np.asarray(out["sub_logits"], np.float32)
+        logits_all.append(logits)
+        targets.append(b["target"])
+        valid_all.append(b["bag_valid"])
+        if is_survival(cfg):
+            cens.append(b["censorship"])
+            events.append(b["event"])
+    keep = np.concatenate(valid_all)
+    logits = np.concatenate(logits_all)[keep]
+    targets = np.concatenate(targets)[keep]
+
+    if is_survival(cfg):
+        risk = np.asarray(surv_risk(jnp.asarray(logits)))
+        row = M.evaluate_survival(
+            risk,
+            np.concatenate(events)[keep],
+            np.concatenate(cens)[keep],
+            bootstrap_enabled=bootstrap,
+            num_bootstrap=cfg.num_bootstrap,
+            fold=fold,
+        )
+        row["_key_metric"] = row["cindex"]
+    else:
+        row = M.evaluate_classification(
+            logits,
+            targets,
+            cfg.n_classes,
+            bootstrap_enabled=bootstrap,
+            num_bootstrap=cfg.num_bootstrap,
+            fold=fold,
+            bin_metric=cfg.bin_metric,
+        )
+        row["_key_metric"] = row["auc"]
+    # val loss proxy for early stopping: mean CE / NLL on the eval split
+    row["_val_loss"] = _host_loss(cfg, logits, targets, cens, events, keep)
+    return row
+
+
+def _host_loss(cfg, logits, targets, cens, events, keep):
+    x = logits - logits.max(-1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    if is_survival(cfg):
+        # use the NLL-surv on host (small arrays)
+        from .losses import nll_surv_loss
+
+        return float(
+            nll_surv_loss(
+                jnp.asarray(logits), jnp.asarray(targets),
+                jnp.asarray(np.concatenate(cens)[keep]),
+            )
+        )
+    return float(-logp[np.arange(len(targets)), targets].mean())
+
+
+# ---- fold / experiment --------------------------------------------------------
+
+
+def _build_fold(cfg: Config, train_slides, fold_seed: int):
+    model, family = build_model(cfg)
+    n_batches = max(
+        1, len(list(_iter_batches(cfg, train_slides, shuffle=False, seed=0)))
+    )
+    lr_sched = make_lr_schedule(cfg, n_batches)
+    sample = None
+    for b in _iter_batches(cfg, train_slides, shuffle=False, seed=0):
+        sample = {k: jnp.asarray(v) for k, v in b.items()}
+        break
+    rng = jax.random.PRNGKey(fold_seed)
+
+    if family in ("mhim", "mhim_pure"):
+        from ..models.mhim import (
+            create_mhim_state,
+            make_mhim_train_step,
+            make_mhim_eval_step,
+        )
+
+        teacher_params = None
+        if cfg.teacher_init:
+            from ..utils.checkpoint import load_checkpoint
+
+            teacher_params = load_checkpoint(cfg.teacher_init)["params"]
+        state = create_mhim_state(
+            cfg, model, rng, sample, lr_sched, teacher_params=teacher_params
+        )
+        if teacher_params is not None:
+            # the reference also warm-starts the student from the teacher
+            # checkpoint (modules/__init__.py:190-207)
+            state = state.replace(params=jax.tree.map(jnp.copy, teacher_params))
+        train_step = make_mhim_train_step(cfg, model, n_batches)
+        eval_step = make_mhim_eval_step(cfg, model)
+        eval_tea = make_mhim_eval_step(cfg, model, use_teacher=True)
+    else:
+        state = create_train_state(cfg, model, rng, sample, lr_sched)
+        train_step = make_train_step(cfg, model, family, n_batches)
+        eval_step = make_eval_step(cfg, model, family)
+        eval_tea = None
+    return model, family, state, train_step, eval_step, eval_tea
+
+
+def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
+    """Train one fold (reference one_fold main.py:189-428)."""
+    fold_seed = cfg.seed + 100 * fold if cfg.random_seed else cfg.seed
+    model, family, state, train_step, eval_step, eval_tea = _build_fold(
+        cfg, train_slides, fold_seed
+    )
+
+    stopper = EarlyStopping(patience=cfg.patient, stop_epoch=cfg.max_epoch)
+    best = {"metric": -np.inf, "state": state, "epoch": -1, "teacher": False}
+    history = []
+
+    for epoch in range(cfg.epoch_start, cfg.num_epoch):
+        t0 = time.time()
+        n_steps = 0
+        for b in _iter_batches(
+            cfg, train_slides, shuffle=True, seed=fold_seed + epoch
+        ):
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            state, tm = train_step(state, jb)
+            n_steps += 1
+        train_loss = float(tm["loss"])
+
+        row = evaluate(cfg, eval_step, state, val_slides, fold, bootstrap=False)
+        rows = {"val": row}
+        # MHIM: also validate the EMA teacher (reference main.py:273-277).
+        if eval_tea is not None and cfg.model == "mhim":
+            rows["val_ema"] = evaluate(
+                cfg, eval_tea, state, val_slides, fold, bootstrap=False
+            )
+        for name, r in rows.items():
+            if r["_key_metric"] > best["metric"]:
+                best = {
+                    "metric": r["_key_metric"],
+                    "state": state,
+                    "epoch": epoch,
+                    "teacher": name == "val_ema",
+                }
+        history.append(
+            {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val": {k: v for k, v in row.items() if not k.startswith("_")},
+                "time": time.time() - t0,
+            }
+        )
+        if cfg.log_iter and (epoch % max(1, cfg.log_iter // 10) == 0 or epoch < 3):
+            print(
+                f"[fold {fold}] epoch {epoch}: train_loss={train_loss:.4f} "
+                f"val={row['_key_metric']:.4f} ({time.time()-t0:.1f}s, {n_steps} steps)"
+            )
+        if cfg.early_stopping and stopper(epoch, row["_val_loss"]):
+            print(f"[fold {fold}] early stop at epoch {epoch}")
+            break
+
+    # final test with the best state (reference main.py:384-413)
+    test_eval = eval_tea if best["teacher"] else eval_step
+    test_row = evaluate(
+        cfg,
+        test_eval or eval_step,
+        best["state"],
+        test_slides,
+        fold,
+        bootstrap=cfg.bootstrap_mode in ("test", "test_val"),
+    )
+    if cfg.output_path:
+        os.makedirs(cfg.output_path, exist_ok=True)
+        save_checkpoint(
+            os.path.join(cfg.output_path, f"fold_{fold}_model_best.ckpt"),
+            best["state"],
+            metadata={"epoch": best["epoch"], "fold": fold,
+                      "val_metric": best["metric"], "teacher": best["teacher"]},
+        )
+    return {
+        "fold": fold,
+        "best_epoch": best["epoch"],
+        "best_val": best["metric"],
+        "test": {k: v for k, v in test_row.items() if not k.startswith("_")},
+        "history": history,
+    }
+
+
+def run_experiment(cfg: Config) -> Dict:
+    """Full k-fold experiment (reference main.py:20-187). Returns per-fold
+    results plus cross-fold mean±std of the test metrics."""
+    folds = get_folds(cfg)
+    results = []
+    for k, (tr, te, va) in enumerate(folds):
+        if k < cfg.fold_start:
+            continue
+        print(
+            f"[fold {k}] train={len(tr)} test={len(te)} val={len(va)} "
+            f"model={cfg.model} baseline={cfg.baseline}"
+        )
+        results.append(one_fold(cfg, k, tr, te, va))
+
+    summary: Dict[str, Dict[str, float]] = {}
+    keys = [
+        k for k, v in results[0]["test"].items() if isinstance(v, (int, float))
+    ]
+    for key in keys:
+        vals = np.asarray([r["test"][key] for r in results], float)
+        summary[key] = {"mean": float(np.nanmean(vals)), "std": float(np.nanstd(vals))}
+    out = {"folds": results, "summary": summary, "config_model": cfg.model}
+    print("==== cross-val summary ====")
+    for key, v in summary.items():
+        print(f"  {key}: {v['mean']:.4f} ± {v['std']:.4f}")
+    return out

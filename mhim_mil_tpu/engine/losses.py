@@ -11,21 +11,30 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean CE over the batch; labels are int class ids."""
+def _wmean(per_example: jax.Array, weights) -> jax.Array:
+    """Weighted batch mean; ``weights`` marks real (non-padding) bags."""
+    if weights is None:
+        return jnp.mean(per_example)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array, weights=None) -> jax.Array:
+    """Mean CE over the batch; labels are int class ids. ``weights`` excludes
+    the zero-padded bags emitted by short final batches (data/bucketing.py)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
-    return jnp.mean(nll)
+    return _wmean(nll, weights)
 
 
-def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def bce_with_logits(logits: jax.Array, labels: jax.Array, weights=None) -> jax.Array:
     """BCEWithLogitsLoss against one-hot labels (reference train_utils.py:42-43)."""
     logits = logits.astype(jnp.float32)
     n_classes = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
     per = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return jnp.mean(per)
+    return _wmean(jnp.mean(per, axis=-1), weights)
 
 
 def soft_target_ce(student: jax.Array, teacher: jax.Array, temp_t: float = 1.0, temp_s: float = 1.0) -> jax.Array:
@@ -40,7 +49,7 @@ def soft_target_ce(student: jax.Array, teacher: jax.Array, temp_t: float = 1.0, 
     return jnp.mean(jnp.sum(-t * ls, axis=-1))
 
 
-def nll_surv_loss(logits: jax.Array, y_bin: jax.Array, censorship: jax.Array, alpha: float = 0.0, eps: float = 1e-7) -> jax.Array:
+def nll_surv_loss(logits: jax.Array, y_bin: jax.Array, censorship: jax.Array, alpha: float = 0.0, eps: float = 1e-7, weights=None) -> jax.Array:
     """Discrete-hazard negative log-likelihood for survival
     (reference: train_utils.py:8-37).
 
@@ -65,7 +74,7 @@ def nll_surv_loss(logits: jax.Array, y_bin: jax.Array, censorship: jax.Array, al
     censored = -c * jnp.log(jnp.clip(s_y, eps, None))
     neg_l = censored + uncensored
     loss = (1.0 - alpha) * neg_l + alpha * uncensored
-    return jnp.mean(loss)
+    return _wmean(loss[:, 0], weights)
 
 
 def surv_risk(logits: jax.Array) -> jax.Array:
@@ -82,11 +91,16 @@ def build_criterion(cfg):
     Returns ``fn(logits, batch) -> scalar``.
     """
     if cfg.loss == "ce":
-        return lambda logits, batch: cross_entropy(logits, batch["target"])
+        return lambda logits, batch: cross_entropy(
+            logits, batch["target"], batch.get("bag_valid")
+        )
     if cfg.loss == "bce":
-        return lambda logits, batch: bce_with_logits(logits, batch["target"])
+        return lambda logits, batch: bce_with_logits(
+            logits, batch["target"], batch.get("bag_valid")
+        )
     if cfg.loss == "nll_surv":
         return lambda logits, batch: nll_surv_loss(
-            logits, batch["target"], batch["censorship"], alpha=0.0
+            logits, batch["target"], batch["censorship"], alpha=0.0,
+            weights=batch.get("bag_valid"),
         )
     raise NotImplementedError(cfg.loss)

@@ -1,0 +1,162 @@
+"""Feature-store readers, CSV splits, k-fold, survival binning."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mhim_mil_tpu.data.splits import (
+    get_kfold,
+    map_labels,
+    read_csv,
+    split_by_column,
+    stratified_kfold_indices,
+    survival_label,
+)
+
+
+@pytest.fixture()
+def feature_store(tmp_path):
+    import torch
+
+    pt = tmp_path / "pt_files"
+    h5d = tmp_path / "h5_files"
+    pt.mkdir()
+    h5d.mkdir()
+    import h5py
+
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        n = 16 + i
+        torch.save(
+            torch.tensor(rng.normal(size=(n, 32)).astype(np.float32)),
+            pt / f"slide_{i}.pt",
+        )
+        with h5py.File(h5d / f"slide_{i}.h5", "w") as f:
+            coords = (rng.integers(0, 20, size=(n, 2)) * 512).astype(np.int64)
+            d = f.create_dataset("coords", data=coords)
+            d.attrs["patch_size"] = 256
+            d.attrs["downsample"] = [2, 2]
+    return tmp_path
+
+
+def test_feature_store_cls(feature_store):
+    from mhim_mil_tpu.data.readers import FeatureBagStore, build_cls_slides
+
+    store = FeatureBagStore(str(feature_store))
+    assert len(store.files) == 6
+    slides = build_cls_slides(
+        store, [f"slide_{i}" for i in range(6)], [0, 1, 0, 1, 0, 1], "c16",
+        with_pos=True,
+    )
+    assert len(slides) == 6
+    assert slides[0]["feats"].shape == (16, 32)
+    assert slides[0]["target"] == 0
+    assert slides[0]["pos"].shape == (16, 2)
+    assert slides[0]["pos"].min() >= 0
+
+
+def test_surv_slides_concat(feature_store):
+    from mhim_mil_tpu.data.readers import FeatureBagStore, build_surv_slides
+
+    store = FeatureBagStore(str(feature_store))
+    df = pd.DataFrame(
+        {
+            "ID": ["slide_0", "slide_1"],
+            "Label": [0, 2],
+            "Status": [1, 0],
+            "Event": [10.0, 20.0],
+        }
+    )
+    slides = build_surv_slides(store, df)
+    assert slides[0]["feats"].shape == (16, 32)
+    assert slides[1]["censorship"] == 1
+    assert slides[1]["event"] == 20.0
+
+
+def test_label_maps():
+    assert map_labels(["LUAD", "LUSC"], "tcga_nsclc").tolist() == [0, 1]
+    assert map_labels([0, 1], "c16").tolist() == [0, 1]
+    assert map_labels(["1", "0"], "panda").tolist() == [1, 0]
+
+
+def test_stratified_kfold_balance():
+    labels = np.array([0] * 10 + [1] * 10)
+    folds = stratified_kfold_indices(labels, 5)
+    for f in folds:
+        assert len(f) == 4
+        assert (labels[f] == 0).sum() == 2  # stratified
+
+
+def test_get_kfold_no_leakage():
+    df = pd.DataFrame({"ID": [f"s{i}" for i in range(20)], "Label": [i % 2 for i in range(20)]})
+    train_dfs, test_dfs, val_dfs = get_kfold(df, 4, seed=1, val_ratio=0.25)
+    all_test = []
+    for tr, te, va in zip(train_dfs, test_dfs, val_dfs):
+        assert set(tr["ID"]) & set(te["ID"]) == set()
+        assert set(va["ID"]) & set(te["ID"]) == set()
+        all_test += te["ID"].tolist()
+    assert sorted(all_test) == sorted(df["ID"])  # folds partition the data
+
+
+def test_survival_label_bins():
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "ID": [f"p{i}" for i in range(40)],
+            "Event": rng.exponential(10.0, size=40),
+            "Status": rng.integers(0, 2, size=40),
+        }
+    )
+    out = survival_label(df)
+    assert set(out["Label"]) <= {0, 1, 2, 3}
+    # uncensored events spread across all bins
+    unc = out[out["Status"] == 1]
+    assert unc["Label"].nunique() >= 3
+
+
+def test_split_by_column():
+    df = pd.DataFrame(
+        {
+            "ID": list("abcdef"),
+            "Label": [0, 1] * 3,
+            "Split": ["train", "train", "test", "test", "val", "val"],
+        }
+    )
+    tr, te, va = split_by_column(df)
+    assert len(tr) == 2 and len(te) == 2 and len(va) == 2
+    tr, te, va = split_by_column(df, val2test=True)
+    assert len(te) == 4
+
+
+def test_csv_driver_end_to_end(feature_store, tmp_path):
+    """Full experiment from a CSV + feature store."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.engine.driver import run_experiment
+
+    csv = tmp_path / "labels.csv"
+    pd.DataFrame(
+        {"ID": [f"slide_{i}" for i in range(6)], "Label": [i % 2 for i in range(6)]}
+    ).to_csv(csv, index=False)
+    cfg = load_config(
+        [],
+        model="meanmil",
+        datasets="c16",
+        csv_path=str(csv),
+        dataset_root=str(feature_store),
+        input_dim=32,
+        inner_dim=32,
+        bucket_sizes=(32,),
+        batch_size=2,
+        cv_fold=2,
+        num_epoch=2,
+        max_epoch=2,
+        lr=1e-3,
+        lr_sche="const",
+        num_bootstrap=5,
+        output_path=str(tmp_path / "out"),
+    )
+    res = run_experiment(cfg)
+    assert len(res["folds"]) == 2
+    assert os.path.exists(tmp_path / "out" / "fold_0_model_best.ckpt")
