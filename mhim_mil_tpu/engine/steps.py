@@ -42,15 +42,17 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         variables = {"params": params, **model_state}
         mutable = [k for k in model_state.keys()]
         rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1)}
+        # CLAM computes its instance loss from the bag label during training
+        # (reference engines/common_mil.py:38-40 passes label into the model).
+        args = (batch["feats"], batch["mask"])
+        if family == "clam":
+            args = args + (batch["target"],)
         if mutable:
             out, new_model_state = model.apply(
-                variables, batch["feats"], batch["mask"],
-                training=True, rngs=rngs, mutable=mutable,
+                variables, *args, training=True, rngs=rngs, mutable=mutable,
             )
         else:
-            out = model.apply(
-                variables, batch["feats"], batch["mask"], training=True, rngs=rngs
-            )
+            out = model.apply(variables, *args, training=True, rngs=rngs)
             new_model_state = model_state
         logits = out["logits"]
         main = criterion(logits, batch)
@@ -59,6 +61,19 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
             # DSMIL max-pooled instance loss (reference: modules/dsmil.py:163-170,
             # weighted by aux_alpha in engines/base_engine.py:99-100).
             aux = aux + criterion(out["inst_logits_bag"], batch)
+        if "sub_preds" in out:
+            # DTFD tier-1 pseudo-bag supervision (reference dtfd.py:208-212 —
+            # dead internal-optimizer path redesigned as an explicit aux loss).
+            from .losses import cross_entropy
+
+            sp = out["sub_preds"]  # [B,G,C]
+            tgt = jnp.broadcast_to(batch["target"][:, None], sp.shape[:2])
+            w = out["sub_preds_mask"]
+            if "bag_valid" in batch:
+                w = w & batch["bag_valid"][:, None]
+            aux = aux + cross_entropy(
+                sp.reshape(-1, sp.shape[-1]), tgt.reshape(-1), w.reshape(-1)
+            )
         loss = cfg.main_alpha * main + cfg.aux_alpha * aux
         return loss, (new_model_state, main, aux)
 

@@ -1,0 +1,199 @@
+"""CLAM single/multi-branch with clustering-constrained instance loss.
+
+Reference: modules/clam.py:58-337 (CLAM_SB / CLAM_MB / Attn_Net_Gated) and
+modules/topk/svm.py:81-106 + functional.py:35-43 (SmoothTop1SVM).
+
+TPU re-design:
+- batched + masked; ``k_sample`` is static so instance mining is a plain
+  ``lax.top_k`` over masked attention (no host round-trips).
+- the reference's Python loop over per-class instance classifiers and the
+  ``if label == i`` branching become an einsum over a stacked ``[C, D, 2]``
+  classifier bank and a one-hot select — identical math, one XLA program.
+- SmoothTop1SVM is computed with a numerically-stable logsumexp, which also
+  covers the reference's hard-SVM large-value fallback (topk/utils.py:36
+  ``detect_large``): as scores grow, τ·logsumexp(x/τ) → max(x).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masked import masked_softmax, NEG_INF
+from .layers import dense, get_act
+
+
+def smooth_top1_svm(logits: jax.Array, labels: jax.Array, tau: float = 1.0, alpha: float = 1.0) -> jax.Array:
+    """Per-example smooth top-1 SVM loss
+    ``τ·logsumexp((x + α·(1-onehot_y) - x_y)/τ)``
+    (reference: modules/topk/functional.py:35-43). Returns ``[...]`` per-example."""
+    logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+    x_y = jnp.sum(logits * onehot, axis=-1, keepdims=True)
+    z = (logits + alpha * (1.0 - onehot) - x_y) / tau
+    return tau * jax.nn.logsumexp(z, axis=-1)
+
+
+class AttnNetGated(nn.Module):
+    """Gated attention scorer → ``[B, N, K]`` logits
+    (reference clam.py:58-81)."""
+
+    attn_dim: int = 256
+    n_branches: int = 1
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        a = jnp.tanh(dense(self.attn_dim, self.use_bias, name="attention_a")(x))
+        b = nn.sigmoid(dense(self.attn_dim, self.use_bias, name="attention_b")(x))
+        if self.dropout > 0:
+            det = not training
+            a = nn.Dropout(self.dropout, deterministic=det)(a)
+            b = nn.Dropout(self.dropout, deterministic=det)(b)
+        return dense(self.n_branches, self.use_bias, name="attention_c")(a * b)
+
+
+class AttnNet(nn.Module):
+    """Ungated tanh attention scorer (reference clam.py:31-56)."""
+
+    attn_dim: int = 256
+    n_branches: int = 1
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        a = jnp.tanh(dense(self.attn_dim, self.use_bias, name="attention_a")(x))
+        if self.dropout > 0:
+            a = nn.Dropout(self.dropout, deterministic=not training)(a)
+        return dense(self.n_branches, self.use_bias, name="attention_c")(a)
+
+
+class CLAM(nn.Module):
+    """``clam_sb`` (single attention branch, shared bag head + max over K) /
+    ``clam_mb`` (per-class attention + per-class bag heads)
+    (reference clam.py:96-241 and :243-337)."""
+
+    input_dim: int = 1024
+    n_classes: int = 2
+    inner_dim: int = 512
+    attn_dim: int = 256
+    dropout: float = 0.25
+    act: str = "relu"
+    gate: bool = True
+    k_sample: int = 8
+    subtyping: bool = False
+    multi_branch: bool = False  # SB vs MB
+    mil_norm: Optional[str] = None
+    mil_bias: bool = True
+    svm_tau: float = 1.0
+
+    def _inst_loss(self, attn_logits, h, mask, label, w, bvec):
+        """Clustering-constrained instance loss (reference inst_eval
+        clam.py:148-176): per class, top-k attended instances should classify
+        as 1 (in-class) and bottom-k as 0; out-of-class top-k as 0 when
+        subtyping. One-hot select replaces the Python label branch."""
+        b, n, _ = h.shape
+        c, k = self.n_classes, self.k_sample
+
+        # branch a: SB uses the single branch for every class
+        a = attn_logits if attn_logits.shape[-1] == c else jnp.repeat(
+            attn_logits, c, axis=-1
+        )  # [B,N,C]
+        a = jnp.where(mask[..., None], a, NEG_INF)
+
+        def gather(idx):  # idx [B,C,k] -> feats [B,C,k,D]
+            return jnp.take_along_axis(
+                h[:, None], idx[..., None], axis=2
+            )
+
+        _, top_p = jax.lax.top_k(a.transpose(0, 2, 1), k)  # [B,C,k]
+        _, top_n = jax.lax.top_k(
+            jnp.where(mask[..., None], -a, NEG_INF).transpose(0, 2, 1), k
+        )
+        feats_p = gather(top_p)
+        feats_n = gather(top_n)
+
+        logit = lambda f: jnp.einsum("bckd,cde->bcke", f, w) + bvec[None, :, None]
+        lp, ln = logit(feats_p), logit(feats_n)
+
+        # in-class: top→1, bottom→0 ; out-of-class (subtyping): top→0
+        # mean over the 2k mined instances (reference svm.py:94-100 divides
+        # the summed loss by x.size(0) = 2k)
+        in_loss = 0.5 * (
+            jnp.mean(smooth_top1_svm(lp, jnp.ones(lp.shape[:-1], jnp.int32), self.svm_tau), axis=-1)
+            + jnp.mean(smooth_top1_svm(ln, jnp.zeros(ln.shape[:-1], jnp.int32), self.svm_tau), axis=-1)
+        )
+        out_loss = jnp.mean(
+            smooth_top1_svm(lp, jnp.zeros(lp.shape[:-1], jnp.int32), self.svm_tau),
+            axis=-1,
+        )
+
+        onehot = jax.nn.one_hot(label, c)  # [B,C]
+        per_class = onehot * in_loss
+        if self.subtyping:
+            per_class = per_class + (1.0 - onehot) * out_loss
+        total = jnp.sum(per_class, axis=-1)  # [B]
+        if self.subtyping:
+            total = total / c  # reference clam.py:223-224
+        # ignore padded bags
+        valid_bag = jnp.any(mask, axis=-1).astype(jnp.float32)
+        return jnp.sum(total * valid_bag) / jnp.maximum(jnp.sum(valid_bag), 1.0)
+
+    @nn.compact
+    def __call__(
+        self, feats, mask, label=None, *, training: bool = False,
+        return_attn: bool = False,
+    ):
+        x = feats
+        if self.mil_norm == "ln":
+            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+        x = dense(self.inner_dim, self.mil_bias, name="fc")(x)
+        x = get_act(self.act)(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not training)(x)
+
+        n_branches = self.n_classes if self.multi_branch else 1
+        attn_cls = AttnNetGated if self.gate else AttnNet
+        attn_logits = attn_cls(
+            self.attn_dim, n_branches, self.dropout, name="attention_net"
+        )(x, training=training)  # [B,N,K]
+
+        a = masked_softmax(
+            jnp.swapaxes(attn_logits, -1, -2), mask[:, None, :], axis=-1
+        )  # [B,K,N]
+        m = jnp.einsum("bkn,bnd->bkd", a, jnp.where(mask[..., None], x, 0))
+
+        if self.multi_branch:
+            # per-class bag heads (reference clam.py:268-269,319-322)
+            wc = self.param(
+                "classifiers_w",
+                nn.initializers.glorot_normal(batch_axis=(0,)),
+                (self.n_classes, self.inner_dim),
+            )
+            bc = self.param("classifiers_b", nn.initializers.zeros, (self.n_classes,))
+            logits = jnp.einsum("bcd,cd->bc", m, wc) + bc
+        else:
+            logits = dense(self.n_classes, self.mil_bias, name="classifiers")(m)
+            logits = jnp.max(logits, axis=1)  # max over K=1 branches
+
+        # instance classifier bank [C, D, 2] (+ bias [C, 2]); created
+        # unconditionally so init (label=None) and train traces share params.
+        w_inst = self.param(
+            "inst_classifiers_w",
+            nn.initializers.glorot_normal(batch_axis=(0,)),
+            (self.n_classes, self.inner_dim, 2),
+        )
+        b_inst = self.param("inst_classifiers_b", nn.initializers.zeros, (self.n_classes, 2))
+
+        out = {"logits": logits, "bag_feat": m.reshape(feats.shape[0], -1)}
+        if label is not None and training:
+            out["aux_loss"] = self._inst_loss(attn_logits, x, mask, label, w_inst, b_inst)
+        if return_attn:
+            out["attn"] = a[:, 0]
+        return out

@@ -69,6 +69,34 @@ def _gabmil(cfg):
     )
 
 
+def _clam(cfg, multi_branch: bool):
+    from .clam import CLAM
+
+    return (
+        CLAM(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            multi_branch=multi_branch,
+            mil_norm=None if cfg.mil_norm in (None, "none") else cfg.mil_norm,
+            mil_bias=cfg.mil_bias,
+        ),
+        "clam",
+    )
+
+
+@register_model("clam_sb")
+def _clam_sb(cfg):
+    return _clam(cfg, multi_branch=False)
+
+
+@register_model("clam_mb")
+def _clam_mb(cfg):
+    return _clam(cfg, multi_branch=True)
+
+
 @register_model("dsmil")
 def _dsmil(cfg):
     from .dsmil import DSMIL
@@ -142,6 +170,51 @@ def _transmil(cfg):
             mil_bias=cfg.mil_bias,
             pos=cfg.pos if cfg.pos else "ppeg",
             n_heads=cfg.n_heads,
+        ),
+        "default",
+    )
+
+
+@register_model("dtfd")
+def _dtfd(cfg):
+    from .dtfd import DTFD
+
+    return (
+        DTFD(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+        ),
+        "default",
+    )
+
+
+@register_model("ibmil")
+def _ibmil(cfg):
+    import numpy as np
+
+    from .ibmil import IBMIL
+
+    conf = None
+    if cfg.confounder_path:
+        paths = (
+            cfg.confounder_path
+            if isinstance(cfg.confounder_path, list)
+            else [cfg.confounder_path]
+        )
+        conf = np.concatenate(
+            [np.load(p).reshape(-1, cfg.inner_dim) for p in paths], axis=0
+        )
+    return (
+        IBMIL(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            confounders=conf,
         ),
         "default",
     )
