@@ -175,6 +175,30 @@ def _transmil(cfg):
     )
 
 
+@register_model("rrtmil")
+def _rrtmil(cfg):
+    from .rrt import RRTMIL
+
+    return (
+        RRTMIL(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            inner_dim=cfg.inner_dim,
+            dropout=cfg.dropout,
+            act=cfg.act,
+            da_act=cfg.da_act,
+            da_gated=cfg.da_gated,
+            n_layers=cfg.rrt_n_layers,
+            n_heads=cfg.rrt_n_heads,
+            region_num=cfg.region_num,
+            epeg_k=cfg.epeg_k,
+            crmsa_k=cfg.crmsa_k,
+            mil_bias=cfg.mil_bias,
+        ),
+        "default",
+    )
+
+
 @register_model("dtfd")
 def _dtfd(cfg):
     from .dtfd import DTFD

@@ -13,7 +13,7 @@ from mhim_mil_tpu.models import build_model, MODEL_REGISTRY
 from mhim_mil_tpu.utils.schedules import make_lr_schedule
 
 ZOO = ["abmil", "gabmil", "meanmil", "maxmil", "transmil", "dsmil",
-       "clam_sb", "clam_mb", "dtfd", "ibmil"]
+       "clam_sb", "clam_mb", "dtfd", "ibmil", "rrtmil"]
 
 
 def _batches(cfg, n_slides=8):
@@ -113,6 +113,40 @@ def test_clam_garbage_invariance():
     rng = np.random.default_rng(2)
     feats = rng.normal(size=(1, 64, 32)).astype(np.float32)
     mask = np.arange(64)[None] < 40
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask))
+    o1 = model.apply(v, jnp.asarray(feats), jnp.asarray(mask))
+    feats2 = np.where(mask[..., None], feats, 1e3 * rng.normal(size=feats.shape))
+    o2 = model.apply(v, jnp.asarray(feats2.astype(np.float32)), jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(o1["logits"]), np.asarray(o2["logits"]), atol=1e-4
+    )
+
+
+def test_rrt_region_partition_roundtrip():
+    from mhim_mil_tpu.models.rrt import region_partition, region_reverse
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 60, 8)), jnp.float32)
+    mask = jnp.asarray(np.arange(60)[None] < np.array([[45], [60]]))
+    x_r, m_r, geo = region_partition(x, mask, region_num=4)
+    back = region_reverse(x_r, geo, 60)
+    np.testing.assert_allclose(
+        np.asarray(back) * np.asarray(mask)[..., None],
+        np.asarray(x) * np.asarray(mask)[..., None],
+        atol=1e-6,
+    )
+    # masked token count preserved
+    assert int(m_r.sum()) == int(mask.sum())
+
+
+def test_rrt_garbage_invariance():
+    from mhim_mil_tpu.models.rrt import RRTMIL
+
+    model = RRTMIL(input_dim=32, inner_dim=64, dropout=0.0, trans_dropout=0.0,
+                   n_heads=4, region_num=4)
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(1, 64, 32)).astype(np.float32)
+    mask = np.arange(64)[None] < 41
     v = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(mask))
     o1 = model.apply(v, jnp.asarray(feats), jnp.asarray(mask))
     feats2 = np.where(mask[..., None], feats, 1e3 * rng.normal(size=feats.shape))
