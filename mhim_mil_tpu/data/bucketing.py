@@ -74,9 +74,17 @@ def batch_bags(
                 k: np.zeros((batch_size,), np.float32 if k == "event" else np.int32)
                 for k in extra_keys
             }
+            with_pos = any("pos" in slides[idx] for idx in chunk)
+            pos = np.zeros((batch_size, b, 2), np.int32) if with_pos else None
             for j, idx in enumerate(chunk):
                 f, m = pad_bag(slides[idx]["feats"], b)
                 feats[j], mask[j], bag_valid[j] = f, m, True
+                if with_pos and "pos" in slides[idx]:
+                    p = slides[idx]["pos"]
+                    pos[j, : len(p)] = p
                 for k in extra_keys:
                     extras[k][j] = slides[idx].get(k, 0)
-            yield {"feats": feats, "mask": mask, "bag_valid": bag_valid, **extras}
+            batch = {"feats": feats, "mask": mask, "bag_valid": bag_valid, **extras}
+            if with_pos:
+                batch["pos"] = pos
+            yield batch

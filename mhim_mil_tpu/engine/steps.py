@@ -43,10 +43,13 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         mutable = [k for k in model_state.keys()]
         rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1)}
         # CLAM computes its instance loss from the bag label during training
-        # (reference engines/common_mil.py:38-40 passes label into the model).
+        # (reference engines/common_mil.py:38-40 passes label into the model);
+        # the 2D-Mamba grid needs the patch coordinates.
         args = (batch["feats"], batch["mask"])
         if family == "clam":
             args = args + (batch["target"],)
+        elif family == "mamba2d" and "pos" in batch:
+            args = args + (batch["pos"],)
         if mutable:
             out, new_model_state = model.apply(
                 variables, *args, training=True, rngs=rngs, mutable=mutable,
@@ -109,9 +112,10 @@ def make_eval_step(cfg, model, family: str, params_field: str = "params"):
         if params is None:
             params = state.params
         variables = {"params": params, **state.model_state}
-        out = model.apply(
-            variables, batch["feats"], batch["mask"], training=False
-        )
+        args = (batch["feats"], batch["mask"])
+        if family == "mamba2d" and "pos" in batch:
+            args = args + (batch["pos"],)
+        out = model.apply(variables, *args, training=False)
         res = {"logits": out["logits"].astype(jnp.float32)}
         if "inst_logits_bag" in out:
             res["sub_logits"] = out["inst_logits_bag"].astype(jnp.float32)

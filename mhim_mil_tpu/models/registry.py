@@ -175,6 +175,42 @@ def _transmil(cfg):
     )
 
 
+@register_model("2dmamba")
+def _2dmamba(cfg):
+    from .mamba import MambaMIL2D
+
+    return (
+        MambaMIL2D(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            dim=cfg.mambamil_dim,
+            n_layers=cfg.mambamil_layer,
+            d_state=cfg.mambamil_state_dim,
+            dropout=cfg.dropout,
+            max_hw=cfg.mamba_2d_max_hw,
+            pad_token_mode=cfg.mamba_2d_pad_token,
+        ),
+        "mamba2d",
+    )
+
+
+@register_model("mambamil")
+def _mambamil(cfg):
+    from .mamba import MambaMIL1D
+
+    return (
+        MambaMIL1D(
+            input_dim=cfg.input_dim,
+            n_classes=cfg.n_classes,
+            dim=cfg.mambamil_dim,
+            n_layers=cfg.mambamil_layer,
+            d_state=cfg.mambamil_state_dim,
+            dropout=cfg.dropout,
+        ),
+        "default",
+    )
+
+
 @register_model("rrtmil")
 def _rrtmil(cfg):
     from .rrt import RRTMIL
