@@ -22,6 +22,19 @@ from .train_state import MILTrainState
 from ..utils.schedules import cosine_schedule
 
 
+def cast_compute(cfg, params, batch):
+    """Mixed-precision policy: bfloat16 params + features on the MXU, fp32
+    master params/optimizer state, fp32 losses/scans (the reference trains
+    under fp16 autocast — engines/base_engine.py:77; bf16 is the TPU-native
+    equivalent with no grad scaler needed)."""
+    if getattr(cfg, "compute_dtype", "float32") != "bfloat16":
+        return params, batch
+    cast = lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
+    params = jax.tree.map(cast, params)
+    batch = {k: (cast(v) if k == "feats" else v) for k, v in batch.items()}
+    return params, batch
+
+
 def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool = False):
     """Build the jitted train step for a model family.
 
@@ -39,6 +52,7 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
     total_steps = cfg.num_epoch * steps_per_epoch
 
     def loss_fn(params, model_state, rng, batch, step):
+        params, batch = cast_compute(cfg, params, batch)
         variables = {"params": params, **model_state}
         mutable = [k for k in model_state.keys()]
         rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1)}
@@ -111,6 +125,7 @@ def make_eval_step(cfg, model, family: str, params_field: str = "params"):
         params = getattr(state, params_field)
         if params is None:
             params = state.params
+        params, batch = cast_compute(cfg, params, batch)
         variables = {"params": params, **state.model_state}
         args = (batch["feats"], batch["mask"])
         if family == "mamba2d" and "pos" in batch:

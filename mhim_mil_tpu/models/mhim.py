@@ -29,6 +29,7 @@ import optax
 from ..ops.masked import compact
 from ..ops.masking import MaskSchedule, layered_mask
 from ..engine.losses import soft_target_ce, build_criterion
+from ..engine.steps import cast_compute
 from ..engine.train_state import MILTrainState, make_optimizer
 from ..utils.schedules import cosine_schedule
 from .layers import FeatureEmbed, dense
@@ -296,6 +297,8 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
     def loss_fn(params, model_state, teacher_params, rng, batch, step):
         drop_rng, mask_rng = jax.random.split(rng)
         rngs = {"dropout": drop_rng, "mask": mask_rng}
+        params, batch = cast_compute(cfg, params, batch)
+        teacher_params, _ = cast_compute(cfg, teacher_params, {})
 
         if is_pure:
             out, new_model_state = model.apply(
@@ -367,6 +370,7 @@ def make_mhim_eval_step(cfg, model: MHIM, use_teacher: bool = False):
     @jax.jit
     def eval_step(state: MILTrainState, batch):
         params = state.teacher_params if use_teacher else state.params
+        params, batch = cast_compute(cfg, params, batch)
         out = model.apply(
             {"params": params, **state.model_state},
             batch["feats"], batch["mask"],

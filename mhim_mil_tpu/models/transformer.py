@@ -34,6 +34,7 @@ class NystromMSA(nn.Module):
     residual: bool = True
     residual_conv_kernel: int = 33
     dropout: float = 0.1
+    parity: bool = False  # reproduce the reference's unmasked landmark math
 
     @nn.compact
     def __call__(
@@ -65,6 +66,7 @@ class NystromMSA(nn.Module):
             pinv_iters=self.pinv_iterations,
             return_attn=return_attn,
             no_norm=no_norm,
+            parity=self.parity,
         )
 
         if self.residual:
@@ -106,6 +108,7 @@ class TransLayer(nn.Module):
 
     dim: int = 512
     heads: int = 8
+    parity: bool = False
 
     @nn.compact
     def __call__(self, x, mask, *, training=False, need_attn=False, no_norm=False):
@@ -114,6 +117,7 @@ class TransLayer(nn.Module):
             heads=self.heads,
             dim_head=self.dim // self.heads,
             num_landmarks=self.dim // 2,
+            parity=self.parity,
             name="attn",
         )
         normed = nn.LayerNorm(name="norm")(x)
@@ -144,6 +148,7 @@ class TransMIL(nn.Module):
     mil_bias: bool = True
     pos: str = "ppeg"
     n_heads: int = 8
+    parity: bool = False
 
     @nn.compact
     def __call__(
@@ -172,7 +177,7 @@ class TransMIL(nn.Module):
         )
 
         attns = []
-        layer1 = TransLayer(self.inner_dim, self.n_heads, name="layer1")
+        layer1 = TransLayer(self.inner_dim, self.n_heads, self.parity, name="layer1")
         if return_attn:
             x, a, *_ = layer1(x, full_mask, training=training, need_attn=True)
             attns.append(a[:, :, 1:])  # drop cls column
@@ -185,7 +190,7 @@ class TransMIL(nn.Module):
             )
             x = jnp.concatenate([x[:, :1], body], axis=1)
 
-        layer2 = TransLayer(self.inner_dim, self.n_heads, name="layer2")
+        layer2 = TransLayer(self.inner_dim, self.n_heads, self.parity, name="layer2")
         if return_attn:
             x, a, *_ = layer2(x, full_mask, training=training, need_attn=True)
             attns.append(a[:, :, 1:])

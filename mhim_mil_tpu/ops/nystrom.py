@@ -56,17 +56,32 @@ def moore_penrose_pinv(x: jax.Array, iters: int = 6) -> jax.Array:
     return jax.lax.fori_loop(0, iters, body, z)
 
 
-def _landmark_mean(t: jax.Array, mask: jax.Array, m: int) -> Tuple[jax.Array, jax.Array]:
+def _landmark_mean(
+    t: jax.Array, mask: jax.Array, m: int, parity: bool = False
+) -> Tuple[jax.Array, jax.Array]:
     """Segment-mean ``t[B,H,N,d]`` into ``m`` landmark groups of consecutive
     tokens, counting only valid positions (reference nystrom_attention.py:95-113
-    computes the same masked mean, with groups of ``l = ceil(n/m)``)."""
+    computes the same masked mean, with groups of ``l = ceil(n/m)``).
+
+    ``parity=True`` reproduces the reference's *unmasked* full-bag path
+    exactly (nystrom_attention.py:93-113 without attn_mask): the divisor is
+    the group size ``l`` (zero-pad tokens count) and all-padding groups stay
+    in play as zero landmarks. Correct only for unpadded bags — the masked
+    default is the principled generalisation.
+    """
     b, h, n, d = t.shape
     l = -(-n // m)  # ceil
     pad = m * l - n
     if pad:
-        t = jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        # Front-pad, matching the reference's sequence padding direction
+        # (nystrom_attention.py:70-77) so landmark group boundaries — and
+        # hence full-bag outputs — are bitwise comparable.
+        t = jnp.pad(t, ((0, 0), (0, 0), (pad, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (pad, 0)))
     grp = t.reshape(b, h, m, l, d).sum(axis=3)
+    if parity:
+        lm_mask = jnp.ones((b, m), bool)
+        return grp / l, lm_mask
     cnt = mask.reshape(b, m, l).sum(axis=-1)  # [B, m]
     lm_mask = cnt > 0
     grp = grp / jnp.maximum(cnt, 1)[:, None, :, None]
@@ -83,6 +98,7 @@ def nystrom_attention(
     return_attn: bool = False,
     no_norm: bool = False,
     compute_dtype=jnp.float32,
+    parity: bool = False,
 ):
     """Core masked Nystrom attention.
 
@@ -97,14 +113,26 @@ def nystrom_attention(
     ``return_attn``, ``cls_attn[B,H,N]``.
     """
     mask = mask.astype(bool)
+    m = num_landmarks
+    front_pad = 0
+    if parity:
+        # Reproduce the reference's unmasked path exactly: the zero tokens it
+        # front-pads (nystrom_attention.py:70-77) act as real keys — they
+        # enter the attn3 softmax denominator with weight exp(0) — so pad
+        # q/k/v wholesale and mark everything valid.
+        n0 = q.shape[2]
+        l = -(-n0 // m)
+        front_pad = m * l - n0
+        if front_pad:
+            padw = ((0, 0), (0, 0), (front_pad, 0), (0, 0))
+            q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
+            mask = jnp.ones((q.shape[0], q.shape[2]), bool)
     mvalid = mask[:, None, :, None]
     q = jnp.where(mvalid, q, 0).astype(compute_dtype)
     k = jnp.where(mvalid, k, 0).astype(compute_dtype)
     v = jnp.where(mvalid, v, 0).astype(compute_dtype)
-
-    m = num_landmarks
-    q_l, lm_mask = _landmark_mean(q, mask, m)  # [B,H,m,dh], [B,m]
-    k_l, _ = _landmark_mean(k, mask, m)
+    q_l, lm_mask = _landmark_mean(q, mask, m, parity)  # [B,H,m,dh], [B,m]
+    k_l, _ = _landmark_mean(k, mask, m, parity)
 
     sim1 = jnp.einsum("bhnd,bhmd->bhnm", q, k_l)  # queries × landmark keys
     sim2 = jnp.einsum("bhnd,bhmd->bhnm", q_l, k_l)  # landmarks × landmarks
@@ -124,6 +152,8 @@ def nystrom_attention(
         jnp.einsum("bhmn,bhnd->bhmd", attn3, v),
     )
     out = jnp.where(mvalid, out, 0)
+    if front_pad:
+        out = out[:, :, front_pad:]
 
     if not return_attn:
         return out, None
@@ -134,7 +164,8 @@ def nystrom_attention(
     else:
         a1, a2, a3 = attn1, attn2_pinv, attn3
     # cls row: reference takes the first real token's row (front padding ⇒
-    # index -n; here ⇒ index 0) — nystrom_attention.py:143-148.
-    cls_row = a1[:, :, 0:1, :] @ a2  # [B,H,1,m]
-    cls_attn = (cls_row @ a3)[:, :, 0, :]  # [B,H,N]
+    # index -n; here ⇒ index 0, or front_pad in parity mode) —
+    # nystrom_attention.py:143-148.
+    cls_row = a1[:, :, front_pad : front_pad + 1, :] @ a2  # [B,H,1,m]
+    cls_attn = (cls_row @ a3)[:, :, 0, front_pad:]  # [B,H,N]
     return out, cls_attn

@@ -53,8 +53,13 @@ def selective_scan_1d(x, delta, A, B, C, D, mask=None):
       mask: optional ``[Bs, L]`` validity — padded steps carry the state
         through unchanged (ā=1, b̄x=0), so ragged bags scan correctly.
 
-    Returns ``y[Bs, L, ED]``.
+    Returns ``y[Bs, L, ED]`` in float32 (scans are numerically sensitive —
+    cumulative products of ā — so they always run in fp32 even under a
+    bfloat16 compute policy).
     """
+    x, delta, B, C = (t.astype(jnp.float32) for t in (x, delta, B, C))
+    A = A.astype(jnp.float32)
+    D = D.astype(jnp.float32)
     dA = jnp.exp(delta[..., None] * A)  # [Bs,L,ED,N]
     dBx = (delta * x)[..., None] * B[..., None, :]  # [Bs,L,ED,N]
     if mask is not None:
@@ -77,8 +82,11 @@ def selective_scan_2d(x, delta, A, B, C, D):
       x, delta: ``[Bs, H, W, ED]``; A: ``[ED, N]``; B, C: ``[Bs, H, W, N]``;
       D: ``[ED]``.
 
-    Returns ``y[Bs, H, W, ED]``. The hidden lattice is streamed row-by-row.
+    Returns ``y[Bs, H, W, ED]`` in float32 (see selective_scan_1d).
     """
+    x, delta, B, C = (t.astype(jnp.float32) for t in (x, delta, B, C))
+    A = A.astype(jnp.float32)
+    D = D.astype(jnp.float32)
     bs, h, w, ed = x.shape
     n = A.shape[-1]
 

@@ -1,0 +1,157 @@
+"""PyTorch-checkpoint → flax-PyTree weight import.
+
+The reference ecosystem ships ``.pt`` state_dicts (pretrained ``mhim_pure``
+teachers via ``--teacher_init``, best-fold checkpoints — reference
+modules/__init__.py:19-54 ``load_mil_ckp``, main.py:384-405). These
+converters map them onto this framework's parameter trees so results are
+directly comparable (SURVEY.md §7 hard part 4).
+
+Conventions:
+- torch ``Linear.weight [out, in]`` → flax ``kernel [in, out]`` (transpose).
+- torch ``LayerNorm.weight/bias`` → flax ``scale/bias``.
+- torch depthwise ``Conv2d.weight [out, in/g, kh, kw]`` → flax
+  ``kernel [kh, kw, in/g, out]``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w, np.float32)
+
+
+def linear(sd: Dict, prefix: str) -> Dict:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def layernorm(sd: Dict, prefix: str) -> Dict:
+    out = {"scale": _t(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv2d(sd: Dict, prefix: str) -> Dict:
+    w = _t(sd[f"{prefix}.weight"])  # [out, in/g, kh, kw]
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv1d(sd: Dict, prefix: str) -> Dict:
+    w = _t(sd[f"{prefix}.weight"])  # [out, in/g, k]
+    out = {"kernel": w.transpose(2, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def strip_module_prefix(sd: Dict) -> Dict:
+    """Drop DDP/compile wrappers (reference modules/__init__.py:190-207)."""
+    out = {}
+    for k, v in sd.items():
+        for p in ("module.", "_orig_mod."):
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+# ---- per-model importers ------------------------------------------------------
+
+
+def import_abmil(sd: Dict) -> Dict:
+    """Reference modules/abmil.py DAttention → models/abmil.py ABMIL params."""
+    sd = strip_module_prefix(sd)
+    return {
+        "FeatureEmbed_0": {"proj": linear(sd, "feature.0")},
+        "TanhAttentionPool_0": {
+            "attn_a": linear(sd, "attention.0"),
+            "attn_c": linear(sd, "attention.2"),
+        },
+        "classifier": linear(sd, "classifier"),
+    }
+
+
+def _nystrom_msa(sd: Dict, prefix: str) -> Dict:
+    res = _t(sd[f"{prefix}.res_conv.weight"])  # [H, 1, k, 1]
+    return {
+        "to_qkv": linear(sd, f"{prefix}.to_qkv"),
+        "to_out": linear(sd, f"{prefix}.to_out.0"),
+        # torch groups=H: [H,1,k,1] → flax [k, 1, 1, H]
+        "res_conv": {"kernel": res.transpose(2, 3, 1, 0)},
+    }
+
+
+def _translayer(sd: Dict, prefix: str) -> Dict:
+    return {
+        "norm": layernorm(sd, f"{prefix}.norm"),
+        "attn": _nystrom_msa(sd, f"{prefix}.attn"),
+    }
+
+
+def import_transmil(sd: Dict) -> Dict:
+    """Reference modules/transmil.py TransMIL → models/transformer.py TransMIL."""
+    sd = strip_module_prefix(sd)
+    params = {
+        "FeatureEmbed_0": {"proj": linear(sd, "feature.0")},
+        "cls_token": _t(sd["cls_token"])[0],  # [1,1,D] both
+        "layer1": _translayer(sd, "layer1"),
+        "layer2": _translayer(sd, "layer2"),
+        "norm": layernorm(sd, "norm"),
+        "classifier": linear(sd, "classifier"),
+    }
+    if "pos_layer.proj.weight" in sd:
+        params["pos_layer"] = {
+            "proj": conv2d(sd, "pos_layer.proj"),
+            "proj1": conv2d(sd, "pos_layer.proj1"),
+            "proj2": conv2d(sd, "pos_layer.proj2"),
+        }
+    params["cls_token"] = _t(sd["cls_token"])
+    return params
+
+
+def import_dsmil(sd: Dict) -> Dict:
+    """Reference modules/dsmil.py MILNet → models/dsmil.py DSMIL."""
+    sd = strip_module_prefix(sd)
+    fcc = _t(sd["b_classifier.fcc.weight"])  # [C, C, D] conv1d kernel=D
+    c = fcc.shape[0]
+    d = fcc.shape[2]
+    # my fcc: dense over bag.reshape(C*D) — input index = c_in*D + d
+    fcc_kernel = fcc.transpose(1, 2, 0).reshape(c * d, c)
+    out = {
+        "feature": linear(sd, "feature.0"),
+        "i_classifier": linear(sd, "i_classifier"),
+        "b_classifier": {
+            "q0": linear(sd, "b_classifier.q.0"),
+            "q1": linear(sd, "b_classifier.q.2"),
+            "v": linear(sd, "b_classifier.v.1"),
+            "fcc": {"kernel": fcc_kernel},
+        },
+    }
+    if "b_classifier.fcc.bias" in sd:
+        out["b_classifier"]["fcc"]["bias"] = _t(sd["b_classifier.fcc.bias"])
+    return out
+
+
+IMPORTERS = {
+    "abmil": import_abmil,
+    "transmil": import_transmil,
+    "dsmil": import_dsmil,
+}
+
+
+def import_torch_state_dict(model_name: str, sd: Dict) -> Dict:
+    if model_name not in IMPORTERS:
+        raise NotImplementedError(
+            f"no torch importer for '{model_name}' (have {sorted(IMPORTERS)})"
+        )
+    return IMPORTERS[model_name](sd)

@@ -1,0 +1,140 @@
+"""Golden parity vs the live PyTorch reference (same weights → same logits).
+
+These tests load the reference implementation from /root/reference (CPU
+torch), export its randomly-initialised state_dict through
+utils/torch_import.py, and check that this framework produces matching
+logits on identical full bags (no padding — padding semantics intentionally
+diverge, see SURVEY.md §7). Skipped when the reference tree is absent.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "modules")), reason="reference not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # Stub heavyweight deps the reference imports but never uses on the
+    # paths under test.
+    import builtins
+    import types
+
+    for name in (
+        "torchvision", "torchvision.models", "future", "future.builtins",
+        "timm", "timm.models", "timm.models.layers",
+    ):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["future"].builtins = sys.modules["future.builtins"]
+    sys.modules["future.builtins"].range = builtins.range
+
+    class _DropPath(torch.nn.Identity):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    sys.modules["timm"].models = sys.modules["timm.models"]
+    sys.modules["timm.models"].layers = sys.modules["timm.models.layers"]
+    sys.modules["timm.models.layers"].DropPath = _DropPath
+    if "git" not in sys.modules:
+        git_mod = types.ModuleType("git")
+        git_mod.Repo = object
+        sys.modules["git"] = git_mod
+    torch.manual_seed(0)
+    return torch
+
+
+def test_abmil_logit_parity(ref_modules):
+    torch = ref_modules
+    from modules.abmil import DAttention as RefABMIL
+
+    from mhim_mil_tpu.models.abmil import ABMIL
+    from mhim_mil_tpu.utils.torch_import import import_abmil
+
+    ref = RefABMIL(input_dim=64, n_classes=2, dropout=0.25, act="relu").eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 37, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+
+    model = ABMIL(input_dim=64, n_classes=2, dropout=0.25, act="relu")
+    params = import_abmil(sd)
+    got = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.ones((1, 37), bool), training=False
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_dsmil_logit_parity(ref_modules):
+    torch = ref_modules
+    from modules.dsmil import MILNet as RefDSMIL
+
+    from mhim_mil_tpu.models.dsmil import DSMIL
+    from mhim_mil_tpu.utils.torch_import import import_dsmil
+
+    ref = RefDSMIL(n_classes=2, dropout=0.25, act="relu", input_dim=64, inner_dim=48).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 29, 64)).astype(np.float32)
+    with torch.no_grad():
+        bag_logits, inst_max = ref(torch.tensor(x))
+
+    model = DSMIL(input_dim=64, n_classes=2, inner_dim=48, dropout=0.25, act="relu")
+    params = import_dsmil(sd)
+    out = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.ones((1, 29), bool), training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), bag_logits.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["inst_logits_bag"]), inst_max.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_transmil_logit_parity(ref_modules):
+    torch = ref_modules
+    from modules.transmil import TransMIL as RefTransMIL
+
+    from mhim_mil_tpu.models.transformer import TransMIL
+    from mhim_mil_tpu.utils.torch_import import import_transmil
+
+    # N = 484 = 22²: the reference's square-pad duplication is a no-op, so
+    # the only remaining divergence would be landmark-group padding — which
+    # matches because nystrom front-pads like the reference.
+    n = 484
+    ref = RefTransMIL(
+        input_dim=64, n_classes=2, dropout=0.25, act="relu", inner_dim=256, n_heads=8
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, n, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+
+    model = TransMIL(
+        input_dim=64, n_classes=2, dropout=0.25, act="relu", inner_dim=256,
+        n_heads=8, parity=True,
+    )
+    params = import_transmil(sd)
+    got = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.ones((1, n), bool), training=False
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
