@@ -59,6 +59,8 @@ class Config:
     always_test: bool = False
     best_metric_index: int = -1
     model_ema: bool = False
+    model_ema_decay: float = 0.9998
+    auto_resume: bool = False
 
     # ---- Evaluation (reference options.py:78-82) ----
     num_bootstrap: int = 1000
@@ -123,6 +125,7 @@ class Config:
     # ---- Misc (reference options.py:174-190) ----
     title: str = "default"
     project: str = "mil_tpu"
+    wandb: bool = False
     log_iter: int = 100
     output_path: str = "./output"
     model_path: Optional[str] = None

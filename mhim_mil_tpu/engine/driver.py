@@ -110,10 +110,13 @@ def get_folds(cfg: Config) -> List[Tuple[List, List, List]]:
 # ---- evaluation ---------------------------------------------------------------
 
 
-def _iter_batches(cfg: Config, slides, shuffle: bool, seed: int, batch_size=None):
+def _iter_batches(
+    cfg: Config, slides, shuffle: bool, seed: int, batch_size=None,
+    patch_shuffle: bool = False,
+):
     surv = is_survival(cfg)
     extra = ("target", "censorship", "event") if surv else ("target",)
-    return batch_bags(
+    it = batch_bags(
         slides,
         batch_size or cfg.batch_size,
         cfg.bucket_sizes,
@@ -121,6 +124,20 @@ def _iter_batches(cfg: Config, slides, shuffle: bool, seed: int, batch_size=None
         seed=seed,
         extra_keys=extra,
     )
+    if not patch_shuffle:
+        yield from it
+        return
+    # instance-order augmentation (reference modules/utils.py:32-35, applied
+    # at engines/base_engine.py:73-74) — permute each bag's valid prefix
+    rng = np.random.default_rng(seed + 17)
+    for b in it:
+        n_valid = b["mask"].sum(axis=1)
+        for i, n in enumerate(n_valid):
+            perm = rng.permutation(int(n))
+            b["feats"][i, : int(n)] = b["feats"][i, perm]
+            if "pos" in b:
+                b["pos"][i, : int(n)] = b["pos"][i, perm]
+        yield b
 
 
 def evaluate(cfg: Config, eval_step, state, slides, fold: int, bootstrap: bool):
@@ -226,14 +243,22 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
         eval_step = make_mhim_eval_step(cfg, model)
         eval_tea = make_mhim_eval_step(cfg, model, use_teacher=True)
     else:
-        state = create_train_state(cfg, model, rng, sample, lr_sched)
+        state = create_train_state(
+            cfg, model, rng, sample, lr_sched, with_teacher=cfg.model_ema
+        )
         train_step = make_train_step(cfg, model, family, n_batches)
         eval_step = make_eval_step(cfg, model, family)
-        eval_tea = None
+        # generic-EMA validation for non-MHIM models (reference main.py:225-226)
+        eval_tea = (
+            make_eval_step(cfg, model, family, params_field="teacher_params")
+            if cfg.model_ema
+            else None
+        )
     return model, family, state, train_step, eval_step, eval_tea
 
 
-def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
+def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
+             logger=None):
     """Train one fold (reference one_fold main.py:189-428)."""
     fold_seed = cfg.seed + 100 * fold if cfg.random_seed else cfg.seed
     model, family, state, train_step, eval_step, eval_tea = _build_fold(
@@ -244,11 +269,30 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
     best = {"metric": -np.inf, "state": state, "epoch": -1, "teacher": False}
     history = []
 
-    for epoch in range(cfg.epoch_start, cfg.num_epoch):
+    # crash-resume from the rolling checkpoint (reference save_cpk
+    # utils.py:176-197, --epoch_start resume options.py:44)
+    epoch_start = cfg.epoch_start
+    ckp_path = (
+        os.path.join(cfg.output_path, f"ckp_fold{fold}.ckpt")
+        if cfg.output_path
+        else None
+    )
+    if cfg.auto_resume and ckp_path and os.path.exists(ckp_path):
+        from ..utils.checkpoint import load_checkpoint, restore_state
+
+        payload = load_checkpoint(ckp_path)
+        state = restore_state(state, payload)
+        meta = payload["metadata"]
+        epoch_start = meta.get("epoch", -1) + 1
+        stopper.load_state_dict(meta.get("early_stop", {}))
+        print(f"[fold {fold}] resumed at epoch {epoch_start}")
+
+    for epoch in range(epoch_start, cfg.num_epoch):
         t0 = time.time()
         n_steps = 0
         for b in _iter_batches(
-            cfg, train_slides, shuffle=True, seed=fold_seed + epoch
+            cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
+            patch_shuffle=cfg.patch_shuffle,
         ):
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             state, tm = train_step(state, jb)
@@ -257,8 +301,9 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
 
         row = evaluate(cfg, eval_step, state, val_slides, fold, bootstrap=False)
         rows = {"val": row}
-        # MHIM: also validate the EMA teacher (reference main.py:273-277).
-        if eval_tea is not None and cfg.model == "mhim":
+        # MHIM / generic-EMA: also validate the EMA weights
+        # (reference main.py:273-277).
+        if eval_tea is not None and (cfg.model == "mhim" or cfg.model_ema):
             rows["val_ema"] = evaluate(
                 cfg, eval_tea, state, val_slides, fold, bootstrap=False
             )
@@ -278,12 +323,25 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
                 "time": time.time() - t0,
             }
         )
+        if logger is not None:
+            logger.log(
+                {f"fold{fold}/train_loss": train_loss,
+                 **{f"fold{fold}/val_{k}": v for k, v in row.items()
+                    if isinstance(v, (int, float)) and not k.startswith("_")}},
+                step=epoch,
+            )
         if cfg.log_iter and (epoch % max(1, cfg.log_iter // 10) == 0 or epoch < 3):
             print(
                 f"[fold {fold}] epoch {epoch}: train_loss={train_loss:.4f} "
                 f"val={row['_key_metric']:.4f} ({time.time()-t0:.1f}s, {n_steps} steps)"
             )
-        if cfg.early_stopping and stopper(epoch, row["_val_loss"]):
+        stop = cfg.early_stopping and stopper(epoch, row["_val_loss"])
+        if cfg.auto_resume and ckp_path:
+            save_checkpoint(
+                ckp_path, state,
+                metadata={"epoch": epoch, "early_stop": stopper.state_dict()},
+            )
+        if stop:
             print(f"[fold {fold}] early stop at epoch {epoch}")
             break
 
@@ -305,6 +363,8 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
             metadata={"epoch": best["epoch"], "fold": fold,
                       "val_metric": best["metric"], "teacher": best["teacher"]},
         )
+    if cfg.auto_resume and ckp_path and os.path.exists(ckp_path):
+        os.remove(ckp_path)
     return {
         "fold": fold,
         "best_epoch": best["epoch"],
@@ -317,6 +377,14 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides):
 def run_experiment(cfg: Config) -> Dict:
     """Full k-fold experiment (reference main.py:20-187). Returns per-fold
     results plus cross-fold mean±std of the test metrics."""
+    import dataclasses
+
+    from ..utils.logging import RunLogger
+
+    logger = RunLogger(
+        cfg.output_path, project=cfg.project, title=cfg.title,
+        use_wandb=cfg.wandb, config=dataclasses.asdict(cfg),
+    )
     folds = get_folds(cfg)
     results = []
     for k, (tr, te, va) in enumerate(folds):
@@ -326,7 +394,7 @@ def run_experiment(cfg: Config) -> Dict:
             f"[fold {k}] train={len(tr)} test={len(te)} val={len(va)} "
             f"model={cfg.model} baseline={cfg.baseline}"
         )
-        results.append(one_fold(cfg, k, tr, te, va))
+        results.append(one_fold(cfg, k, tr, te, va, logger=logger))
 
     summary: Dict[str, Dict[str, float]] = {}
     keys = [
@@ -339,4 +407,6 @@ def run_experiment(cfg: Config) -> Dict:
     print("==== cross-val summary ====")
     for key, v in summary.items():
         print(f"  {key}: {v['mean']:.4f} ± {v['std']:.4f}")
+    logger.log({f"summary/{k}": v["mean"] for k, v in summary.items()})
+    logger.close()
     return out

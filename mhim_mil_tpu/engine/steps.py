@@ -94,6 +94,9 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         loss = cfg.main_alpha * main + cfg.aux_alpha * aux
         return loss, (new_model_state, main, aux)
 
+    use_ema = getattr(cfg, "model_ema", False)
+    ema_decay = getattr(cfg, "model_ema_decay", 0.9998)
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: MILTrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
@@ -102,10 +105,16 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         )(state.params, state.model_state, step_rng, batch, state.step)
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # generic model EMA (reference ModelEmaV3, utils.py:42-174), fused
+        # into the same XLA program instead of a host-side state-dict walk
+        teacher = state.teacher_params
+        if use_ema and teacher is not None:
+            teacher = ema_update(teacher, new_params, ema_decay)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             model_state=new_model_state,
+            teacher_params=teacher,
             opt_state=new_opt_state,
             rng=rng,
         )

@@ -87,3 +87,35 @@ def test_driver_survival():
     res = run_experiment(cfg)
     assert np.isfinite(res["summary"]["cindex"]["mean"])
     assert 0.0 <= res["summary"]["cindex"]["mean"] <= 1.0
+
+
+def test_heatmap_export(tmp_path):
+    from mhim_mil_tpu.utils.heatmap import attention_to_grid, export_heatmap
+
+    rng = np.random.default_rng(0)
+    attn = rng.uniform(size=20)
+    coords = np.stack([rng.integers(0, 5, 20), rng.integers(0, 4, 20)], -1)
+    grid = attention_to_grid(attn, coords)
+    assert grid.shape == (coords[:, 1].max() + 1, coords[:, 0].max() + 1)
+    paths = export_heatmap(str(tmp_path), "slide_x", attn, coords)
+    import os
+
+    assert os.path.exists(paths["npy"]) and os.path.exists(paths["csv"])
+    # percentile normalisation spans (0, 1]
+    g = np.load(paths["npy"])
+    vals = g[np.isfinite(g)]
+    assert vals.max() <= 1.0 and vals.min() > 0.0
+
+
+def test_run_logger_jsonl(tmp_path):
+    import json
+
+    from mhim_mil_tpu.utils.logging import RunLogger
+
+    lg = RunLogger(str(tmp_path), title="t")
+    lg.log({"a": 1.0}, step=0)
+    lg.log({"b": 2.0})
+    lg.close()
+    rows = [json.loads(l) for l in open(tmp_path / "t_log.jsonl")]
+    assert rows[0]["a"] == 1.0 and rows[0]["step"] == 0
+    assert rows[1]["b"] == 2.0
