@@ -1,0 +1,20 @@
+"""Offline WSI preprocessing (L0): segmentation → patching → features.
+
+TPU-native counterpart of the vendored CLAM pipeline (reference: CLAM/ —
+``create_patches_fp.py`` seg+patch, ``extract_features_fp.py`` encoder sweep,
+SURVEY.md §2 L0). OpenSlide is not available in this environment, so the
+pyramidal-WSI decode stays out of scope; this package covers every step after
+pixel access — Otsu tissue segmentation, grid coord generation, batched JAX
+feature extraction — for plain raster images, plus store converters
+(tools/convert_features.py) for consuming published feature sets.
+"""
+
+from .segment import otsu_threshold, segment_tissue, generate_patch_coords
+from .extract import extract_features
+
+__all__ = [
+    "otsu_threshold",
+    "segment_tissue",
+    "generate_patch_coords",
+    "extract_features",
+]
