@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.bucketing import batch_bags
+from ..parallel import make_mesh, shard_batch, replicate_tree
 from ..data.synthetic import make_synthetic_dataset, make_synthetic_survival_dataset
 from ..models import build_model
 from ..utils.early_stopping import EarlyStopping
@@ -257,6 +258,38 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
     return model, family, state, train_step, eval_step, eval_tea
 
 
+def _maybe_mesh(cfg: Config):
+    """Device mesh for data/sequence parallel training: used when more than
+    one device is visible or explicitly configured (TPU-native replacement
+    for the reference's dormant DDP scaffolding, SURVEY.md §2.3)."""
+    n = jax.device_count()
+    # explicit opt-in: the bag batch must divide dp, so auto-enabling on
+    # device count alone would break odd batch sizes
+    want = cfg.mesh_dp != -1 or cfg.mesh_sp > 1
+    if not want or n == 1:
+        return None
+    return make_mesh(dp=cfg.mesh_dp, sp=cfg.mesh_sp)
+
+
+def _prefetch_to_device(batch_iter, mesh, shard_instances, depth: int = 2):
+    """Double-buffered host→device prefetch (reference PrefetchLoader,
+    datasets/data_utils.py:386-531 — CUDA-stream prefetch becomes async
+    device_put: transfers overlap the running step)."""
+    from collections import deque
+
+    q = deque()
+    for b in batch_iter:
+        if mesh is not None:
+            jb = shard_batch(mesh, b, shard_instances=shard_instances)
+        else:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+        q.append(jb)
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
              logger=None):
     """Train one fold (reference one_fold main.py:189-428)."""
@@ -264,6 +297,11 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
     model, family, state, train_step, eval_step, eval_tea = _build_fold(
         cfg, train_slides, fold_seed
     )
+    mesh = _maybe_mesh(cfg)
+    shard_instances = cfg.mesh_sp > 1
+    if mesh is not None:
+        state = replicate_tree(mesh, state)
+        print(f"[fold {fold}] mesh: dp={mesh.shape['dp']} sp={mesh.shape['sp']}")
 
     stopper = EarlyStopping(patience=cfg.patient, stop_epoch=cfg.max_epoch)
     best = {"metric": -np.inf, "state": state, "epoch": -1, "teacher": False}
@@ -290,11 +328,13 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
     for epoch in range(epoch_start, cfg.num_epoch):
         t0 = time.time()
         n_steps = 0
-        for b in _iter_batches(
-            cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
-            patch_shuffle=cfg.patch_shuffle,
+        for jb in _prefetch_to_device(
+            _iter_batches(
+                cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
+                patch_shuffle=cfg.patch_shuffle,
+            ),
+            mesh, shard_instances,
         ):
-            jb = {k: jnp.asarray(v) for k, v in b.items()}
             state, tm = train_step(state, jb)
             n_steps += 1
         train_loss = float(tm["loss"])

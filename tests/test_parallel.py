@@ -58,3 +58,35 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_driver_with_mesh():
+    """Full experiment over the virtual 8-device (dp x sp) mesh."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.engine.driver import run_experiment
+
+    cfg = load_config(
+        [],
+        model="abmil",
+        datasets="synth",
+        input_dim=32,
+        inner_dim=32,
+        synth_n_slides=16,
+        synth_bag_size=64,
+        bucket_sizes=(64,),
+        batch_size=4,
+        cv_fold=2,
+        num_epoch=2,
+        max_epoch=2,
+        lr=1e-3,
+        lr_sche="const",
+        num_bootstrap=5,
+        output_path="",
+        mesh_dp=4,
+        mesh_sp=2,
+    )
+    res = run_experiment(cfg)
+    assert len(res["folds"]) == 2
+    import numpy as np
+
+    assert np.isfinite(res["summary"]["auc"]["mean"])
