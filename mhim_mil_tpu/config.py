@@ -135,6 +135,7 @@ class Config:
     # ---- TPU-specific (no reference equivalent) ----
     bucket_sizes: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay fp32
+    use_flash_attn: bool = False  # fused Pallas Nystrom on no-grad TPU paths
     mesh_dp: int = -1  # -1 = all devices on the dp axis
     mesh_sp: int = 1   # instance-axis (sequence) sharding factor
     synth_n_slides: int = 64  # synthetic dataset size (datasets='synth')

@@ -49,6 +49,7 @@ class SAttentionBaseline(nn.Module):
     heads: int = 8
     pos: str = "ppeg"
     peg_k: int = 7
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -61,7 +62,7 @@ class SAttentionBaseline(nn.Module):
         full_mask = jnp.concatenate([jnp.ones((b, 1), bool), mask.astype(bool)], axis=1)
 
         attns, scored1 = [], None
-        layer1 = TransLayer(self.dim, self.heads, name="layer1")
+        layer1 = TransLayer(self.dim, self.heads, use_flash=self.use_flash, name="layer1")
         if return_attn:
             x, a, v, scored1 = layer1(
                 x, full_mask, training=training, need_attn=True, no_norm=no_norm
@@ -74,7 +75,7 @@ class SAttentionBaseline(nn.Module):
             body = PPEG(self.dim, k=self.peg_k, name="pos_embedding")(x[:, 1:], mask)
             x = jnp.concatenate([x[:, :1], body], axis=1)
 
-        layer2 = TransLayer(self.dim, self.heads, name="layer2")
+        layer2 = TransLayer(self.dim, self.heads, use_flash=self.use_flash, name="layer2")
         if return_attn:
             x, a, *_ = layer2(
                 x, full_mask, training=training, need_attn=True, no_norm=no_norm

@@ -76,13 +76,16 @@ class MHIM(nn.Module):
     merge_mm: float = 0.9998
     merge_ratio: float = 0.2
     merge_test: bool = False
+    use_flash: bool = False
 
     def setup(self):
         self.feature = FeatureEmbed(
             self.mlp_dim, self.act, self.dropout, name="feature"
         )
         if self.baseline == "selfattn":
-            self.online_encoder = SAttentionBaseline(self.mlp_dim, self.heads)
+            self.online_encoder = SAttentionBaseline(
+                self.mlp_dim, self.heads, use_flash=self.use_flash
+            )
         elif self.baseline == "attn":
             self.online_encoder = DAttentionBaseline(self.mlp_dim, self.da_act)
         elif self.baseline == "dsmil":

@@ -142,6 +142,7 @@ def _mhim_common(cfg, pure: bool):
         merge_mm=cfg.merge_mm,
         merge_ratio=cfg.merge_ratio,
         merge_test=cfg.merge_test,
+        use_flash=cfg.use_flash_attn,
     )
 
 

@@ -35,6 +35,7 @@ class NystromMSA(nn.Module):
     residual_conv_kernel: int = 33
     dropout: float = 0.1
     parity: bool = False  # reproduce the reference's unmasked landmark math
+    use_flash: bool = False  # fused Pallas kernel on no-grad TPU paths
 
     @nn.compact
     def __call__(
@@ -57,17 +58,37 @@ class NystromMSA(nn.Module):
         )
         q = q * dh ** -0.5
 
-        out, attn = nystrom_attention(
-            q,
-            k,
-            v,
-            mask,
-            num_landmarks=self.num_landmarks,
-            pinv_iters=self.pinv_iterations,
-            return_attn=return_attn,
-            no_norm=no_norm,
-            parity=self.parity,
+        # The fused Pallas kernel covers the no-gradient paths (teacher /
+        # eval) on real TPUs; training keeps the differentiable XLA op.
+        flash_ok = (
+            self.use_flash
+            and not training
+            and not no_norm
+            and not self.parity
+            and jax.default_backend() not in ("cpu",)
         )
+        if flash_ok:
+            from ..ops.pallas_nystrom import flash_nystrom_infer
+
+            out, attn = flash_nystrom_infer(
+                q, k, v, mask,
+                num_landmarks=self.num_landmarks,
+                pinv_iters=self.pinv_iterations,
+            )
+            if not return_attn:
+                attn = None
+        else:
+            out, attn = nystrom_attention(
+                q,
+                k,
+                v,
+                mask,
+                num_landmarks=self.num_landmarks,
+                pinv_iters=self.pinv_iterations,
+                return_attn=return_attn,
+                no_norm=no_norm,
+                parity=self.parity,
+            )
 
         if self.residual:
             # Depthwise conv over the sequence axis, per head, shared across
@@ -109,6 +130,7 @@ class TransLayer(nn.Module):
     dim: int = 512
     heads: int = 8
     parity: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask, *, training=False, need_attn=False, no_norm=False):
@@ -118,6 +140,7 @@ class TransLayer(nn.Module):
             dim_head=self.dim // self.heads,
             num_landmarks=self.dim // 2,
             parity=self.parity,
+            use_flash=self.use_flash,
             name="attn",
         )
         normed = nn.LayerNorm(name="norm")(x)

@@ -19,6 +19,12 @@ Used on the no-gradient paths (MHIM teacher forward, evaluation) — exactly
 where the reference pays its full-bag attention cost per training step
 (reference: modules/mhim.py:181-227 ``forward_teacher`` under no_grad).
 The differentiable student path keeps the XLA implementation.
+
+NOTE: enabled via ``Config.use_flash_attn`` (default off). The development
+environment's remote-TPU tunnel cannot compile Mosaic/Pallas programs (even a
+trivial kernel hangs in the remote compile step), so correctness is pinned by
+interpreter-mode golden tests (tests/test_pallas_nystrom.py) and the flag
+should be flipped on when running on directly-attached TPUs.
 """
 
 from __future__ import annotations
