@@ -228,18 +228,18 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
             make_mhim_eval_step,
         )
 
-        teacher_params = None
+        state = create_mhim_state(cfg, model, rng, sample, lr_sched)
         if cfg.teacher_init:
-            from ..utils.checkpoint import load_checkpoint
+            # partial overlay: a mhim_pure teacher checkpoint lacks the Merge
+            # params (reference modules/__init__.py:190-207 reconciles the
+            # same way); the student is warm-started from the teacher too.
+            from ..utils.checkpoint import load_checkpoint, overlay_params
 
-            teacher_params = load_checkpoint(cfg.teacher_init)["params"]
-        state = create_mhim_state(
-            cfg, model, rng, sample, lr_sched, teacher_params=teacher_params
-        )
-        if teacher_params is not None:
-            # the reference also warm-starts the student from the teacher
-            # checkpoint (modules/__init__.py:190-207)
-            state = state.replace(params=jax.tree.map(jnp.copy, teacher_params))
+            loaded = load_checkpoint(cfg.teacher_init)["params"]
+            warm = overlay_params(state.params, loaded)
+            state = state.replace(
+                params=warm, teacher_params=jax.tree.map(jnp.copy, warm)
+            )
         train_step = make_mhim_train_step(cfg, model, n_batches)
         eval_step = make_mhim_eval_step(cfg, model)
         eval_tea = make_mhim_eval_step(cfg, model, use_teacher=True)
@@ -302,6 +302,29 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
     if mesh is not None:
         state = replicate_tree(mesh, state)
         print(f"[fold {fold}] mesh: dp={mesh.shape['dp']} sp={mesh.shape['sp']}")
+
+    # evaluation-only mode (reference --script_mode test, options.py:189 +
+    # main.py best-reload path :384-405)
+    if cfg.script_mode == "test":
+        from ..utils.checkpoint import load_checkpoint, restore_state
+
+        path = cfg.model_path or cfg.output_path
+        if path and os.path.isdir(path):
+            path = os.path.join(path, f"fold_{fold}_model_best.ckpt")
+        if path and os.path.exists(path):
+            state = restore_state(state, load_checkpoint(path))
+            print(f"[fold {fold}] loaded {path}")
+        test_row = evaluate(
+            cfg, eval_step, state, test_slides, fold,
+            bootstrap=cfg.bootstrap_mode in ("test", "test_val"),
+        )
+        return {
+            "fold": fold,
+            "best_epoch": -1,
+            "best_val": float("nan"),
+            "test": {k: v for k, v in test_row.items() if not k.startswith("_")},
+            "history": [],
+        }
 
     stopper = EarlyStopping(patience=cfg.patient, stop_epoch=cfg.max_epoch)
     best = {"metric": -np.inf, "state": state, "epoch": -1, "teacher": False}

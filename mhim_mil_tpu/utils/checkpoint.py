@@ -59,3 +59,20 @@ def restore_state(state, payload: Dict[str, Any]):
         opt_state=payload["opt_state"],
         rng=jnp.asarray(payload["rng"]),
     )
+
+
+def overlay_params(init_params, loaded_params):
+    """Overlay ``loaded_params`` onto freshly-initialised ``init_params``,
+    keeping init values for any subtree the checkpoint lacks — the partial
+    teacher-init reconciliation (reference modules/__init__.py:190-207 loads
+    a ``mhim_pure`` checkpoint into the full MHIM, which has extra Merge
+    parameters)."""
+    if not isinstance(init_params, dict):
+        return loaded_params if loaded_params is not None else init_params
+    out = {}
+    for k, v in init_params.items():
+        if isinstance(loaded_params, dict) and k in loaded_params:
+            out[k] = overlay_params(v, loaded_params[k])
+        else:
+            out[k] = v
+    return out

@@ -119,3 +119,52 @@ def test_run_logger_jsonl(tmp_path):
     rows = [json.loads(l) for l in open(tmp_path / "t_log.jsonl")]
     assert rows[0]["a"] == 1.0 and rows[0]["step"] == 0
     assert rows[1]["b"] == 2.0
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        model="abmil", datasets="synth", input_dim=32, inner_dim=32,
+        synth_n_slides=16, synth_bag_size=64, bucket_sizes=(64,),
+        batch_size=4, cv_fold=2, num_epoch=2, max_epoch=2, lr=1e-3,
+        lr_sche="const", num_bootstrap=5, output_path="",
+    )
+    base.update(kw)
+    return load_config([], **base)
+
+
+def test_teacher_init_two_stage(tmp_path):
+    """mhim_pure pretrain -> checkpoint -> mhim with --teacher_init
+    (reference workflow, README:105-120 / modules/__init__.py:176-214)."""
+    cfg1 = _tiny_cfg(
+        model="mhim_pure", baseline="attn", cv_fold=2, output_path=str(tmp_path)
+    )
+    run_experiment(cfg1)
+    import os
+
+    ckpt = os.path.join(str(tmp_path), "fold_0_model_best.ckpt")
+    assert os.path.exists(ckpt)
+
+    cfg2 = _tiny_cfg(
+        model="mhim", baseline="attn", mask_ratio_h=0.1, merge_enable=True,
+        merge_ratio=0.5, aux_alpha=0.5, teacher_init=ckpt, output_path="",
+    )
+    res = run_experiment(cfg2)
+    assert np.isfinite(res["summary"]["auc"]["mean"])
+
+
+def test_script_mode_test_only(tmp_path):
+    """Train once, then evaluate the saved best checkpoint without training."""
+    cfg = _tiny_cfg(output_path=str(tmp_path))
+    res1 = run_experiment(cfg)
+    cfg2 = _tiny_cfg(script_mode="test", model_path=str(tmp_path), output_path="")
+    res2 = run_experiment(cfg2)
+    # same data, same weights -> same test AUC
+    assert abs(res1["summary"]["auc"]["mean"] - res2["summary"]["auc"]["mean"]) < 1e-6
+
+
+def test_multibucket_ragged():
+    """Ragged bags spanning several buckets: one compiled program per bucket,
+    metrics over all bags."""
+    cfg = _tiny_cfg(bucket_sizes=(32, 64, 128), synth_bag_size=128, num_epoch=2)
+    res = run_experiment(cfg)
+    assert np.isfinite(res["summary"]["auc"]["mean"])
