@@ -121,6 +121,10 @@ class Config:
     mamba_2d: bool = False
     mamba_2d_pad_token: str = "trainable"  # zero | trainable
     mamba_2d_max_hw: int = 128
+    mamba_2d_max_w: int = 0  # 0 = derive from datasets / fall back to max_hw
+    mamba_2d_max_h: int = 0
+    mamba_2d_pos_emb_type: Optional[str] = None  # None | linear
+    pos_emb_dropout: float = 0.0
 
     # ---- Misc (reference options.py:174-190) ----
     title: str = "default"
@@ -222,9 +226,20 @@ def finalize_config(cfg: Config) -> Config:
     if cfg.loss == "nll_surv" and cfg.n_classes < 2:
         up["n_classes"] = 4
     # 2D-Mamba per-dataset grid bounds (reference options.py:314-331).
-    if cfg.model == "2dmamba":
-        grid = {"call": 220, "c16": 220, "nsclc": 160, "brca": 160, "panda": 96}
-        key = next((k for k in grid if k in cfg.datasets), None)
+    if cfg.model == "2dmamba" and not (cfg.mamba_2d_max_w and cfg.mamba_2d_max_h):
+        grid = {  # dataset suffix -> (max_w, max_h)
+            "brca": (413, 821),
+            "panda": (384, 216),
+            "nsclc": (385, 216),
+            "luad": (385, 216),
+            "lusc": (385, 216),
+            "call": (432, 432),
+            "c16": (432, 432),
+            "blca": (381, 275),
+        }
+        key = next((k for k in grid if cfg.datasets.lower().endswith(k)), None)
         if key is not None:
-            up["mamba_2d_max_hw"] = grid[key]
+            up["mamba_2d_max_w"], up["mamba_2d_max_h"] = grid[key]
+        else:
+            up["mamba_2d_max_w"] = up["mamba_2d_max_h"] = cfg.mamba_2d_max_hw
     return cfg.replace(**up) if up else cfg

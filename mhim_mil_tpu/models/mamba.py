@@ -175,9 +175,11 @@ class MambaMIL2D(nn.Module):
     n_layers: int = 1
     d_state: int = 16
     dropout: float = 0.25
-    max_hw: int = 64
+    max_w: int = 64
+    max_h: int = 64
     pad_token_mode: str = "trainable"  # zero | trainable
     pos_emb_type: str = "none"  # none | linear
+    pos_emb_dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -191,15 +193,17 @@ class MambaMIL2D(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not training)(x)
 
         if self.pos_emb_type == "linear" and coords is not None:
+            # linear coord embedding (reference mambamil_2d.py:70-75,94-97)
             x = x + dense(self.dim, name="pos_embs")(coords.astype(jnp.float32))
-            x = nn.Dropout(0.1, deterministic=not training)(x)
+            if self.pos_emb_dropout > 0:
+                x = nn.Dropout(self.pos_emb_dropout, deterministic=not training)(x)
 
         if coords is None:
             w = int(math.ceil(math.sqrt(nseq)))
             h = int(math.ceil(nseq / w))
             coords = jnp.broadcast_to(_rowmajor_coords(nseq, w)[None], (b, nseq, 2))
         else:
-            h = w = self.max_hw
+            h, w = self.max_h, self.max_w
 
         if self.pad_token_mode == "trainable":
             pad = self.param(

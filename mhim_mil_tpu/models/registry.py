@@ -188,8 +188,11 @@ def _2dmamba(cfg):
             n_layers=cfg.mambamil_layer,
             d_state=cfg.mambamil_state_dim,
             dropout=cfg.dropout,
-            max_hw=cfg.mamba_2d_max_hw,
+            max_w=cfg.mamba_2d_max_w or cfg.mamba_2d_max_hw,
+            max_h=cfg.mamba_2d_max_h or cfg.mamba_2d_max_hw,
             pad_token_mode=cfg.mamba_2d_pad_token,
+            pos_emb_type=cfg.mamba_2d_pos_emb_type or "none",
+            pos_emb_dropout=cfg.pos_emb_dropout,
         ),
         "mamba2d",
     )
