@@ -184,7 +184,13 @@ def evaluate(cfg: Config, eval_step, state, slides, fold: int, bootstrap: bool):
             fold=fold,
             bin_metric=cfg.bin_metric,
         )
-        row["_key_metric"] = row["auc"]
+        # best-checkpoint metric: AUC for binary, top-1 acc for multiclass
+        # (reference options.py:338-339 best_metric_index default)
+        if cfg.best_metric_index == -1:
+            key = "auc" if cfg.n_classes == 2 else "acc"
+        else:
+            key = ["auc", "acc", "f1"][cfg.best_metric_index]
+        row["_key_metric"] = row[key]
     # val loss proxy for early stopping: mean CE / NLL on the eval split
     row["_val_loss"] = _host_loss(cfg, logits, targets, cens, events, keep)
     return row

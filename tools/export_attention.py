@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Export per-slide attention heatmaps from a trained checkpoint.
+
+Counterpart of CLAM's heatmap CLI (reference: CLAM/create_heatmaps.py) for the
+features-only pipeline: loads a fold checkpoint, runs the model's attention
+forward over every slide, and writes ``<out>/<slide>_attn.{npy,csv}`` grids
+(utils/heatmap.py).
+
+    python tools/export_attention.py --ckpt out/fold_0_model_best.ckpt \
+        --model abmil --csv_path labels.csv --dataset_root store/ --out attn/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--model", default="abmil")
+    ap.add_argument("--baseline", default="selfattn")
+    ap.add_argument("--csv_path", default=None)
+    ap.add_argument("--dataset_root", default=None)
+    ap.add_argument("--datasets", default="c16")
+    ap.add_argument("--input_dim", type=int, default=1024)
+    ap.add_argument("--inner_dim", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.utils.checkpoint import load_checkpoint
+    from mhim_mil_tpu.utils.heatmap import export_heatmap
+
+    cfg = load_config(
+        [], model=args.model, baseline=args.baseline, input_dim=args.input_dim,
+        inner_dim=args.inner_dim, datasets=args.datasets, csv_path=args.csv_path,
+        dataset_root=args.dataset_root,
+    )
+    model, family = build_model(cfg)
+    payload = load_checkpoint(args.ckpt)
+    variables = {"params": payload["params"], **payload["model_state"]}
+
+    if family in ("mhim", "mhim_pure"):
+        from mhim_mil_tpu.models.mhim import MHIM
+
+        fwd = jax.jit(
+            lambda x, m: model.apply(
+                variables, x, m, return_attn=True, method=MHIM.forward_test
+            )
+        )
+    else:
+        fwd = jax.jit(
+            lambda x, m: model.apply(variables, x, m, training=False, return_attn=True)
+        )
+
+    from mhim_mil_tpu.data.readers import FeatureBagStore, build_cls_slides
+    from mhim_mil_tpu.data.splits import read_csv
+
+    df = read_csv(cfg.csv_path)
+    store = FeatureBagStore(cfg.dataset_root)
+    slides = build_cls_slides(
+        store, df["ID"].tolist(), df["Label"].tolist(), cfg.datasets, with_pos=True
+    )
+    for s in slides:
+        feats = jnp.asarray(s["feats"][None])
+        mask = jnp.ones((1, feats.shape[1]), bool)
+        out = fwd(feats, mask)
+        attn = np.asarray(out["attn"], np.float32)
+        if attn.ndim == 3:  # [B,H,N] multi-head -> mean over heads
+            attn = attn.mean(axis=1)
+        sid = os.path.splitext(s["slide"])[0]
+        export_heatmap(args.out, sid, attn[0][: feats.shape[1]], s.get("pos"))
+        print(f"exported {sid}")
+
+
+if __name__ == "__main__":
+    main()
