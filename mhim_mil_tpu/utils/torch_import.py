@@ -142,10 +142,28 @@ def import_dsmil(sd: Dict) -> Dict:
     return out
 
 
+def import_mhim_attn(sd: Dict) -> Dict:
+    """Reference modules/mhim.py MHIM(baseline='attn') → models/mhim.py MHIM
+    (pure shell: feature MLP + DAttention encoder + predictor; Merge params
+    overlay separately when enabled)."""
+    sd = strip_module_prefix(sd)
+    return {
+        "feature": {"proj": linear(sd, "feature.0")},
+        "online_encoder": {
+            "attention": {
+                "attn_a": linear(sd, "online_encoder.attention.attention.0"),
+                "attn_c": linear(sd, "online_encoder.attention.attention.2"),
+            }
+        },
+        "predictor": linear(sd, "predictor"),
+    }
+
+
 IMPORTERS = {
     "abmil": import_abmil,
     "transmil": import_transmil,
     "dsmil": import_dsmil,
+    "mhim_attn": import_mhim_attn,
 }
 
 

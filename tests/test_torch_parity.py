@@ -138,3 +138,47 @@ def test_transmil_logit_parity(ref_modules):
         {"params": params}, jnp.asarray(x), jnp.ones((1, n), bool), training=False
     )["logits"]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def test_mhim_pure_and_teacher_parity(ref_modules):
+    """Flagship golden: same weights -> same pure logits AND the same
+    teacher pseudo-scores (the hard-instance mining signal)."""
+    torch = ref_modules
+    from modules.mhim import MHIM as RefMHIM
+
+    from mhim_mil_tpu.models.mhim import MHIM
+    from mhim_mil_tpu.utils.torch_import import import_mhim_attn
+
+    ref = RefMHIM(
+        input_dim=64, mlp_dim=48, n_classes=2, dropout=0.25, act="relu",
+        baseline="attn", da_act="gelu", attn2score=True, merge_enable=False,
+        temp_t=0.1,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 53, 64)).astype(np.float32)
+    with torch.no_grad():
+        want_logits = ref.pure(torch.tensor(x)).numpy()
+        want_cls, want_score = ref.forward_teacher(torch.tensor(x))
+        want_cls = want_cls.numpy()
+        want_score = want_score.numpy()
+
+    model = MHIM(
+        input_dim=64, mlp_dim=48, n_classes=2, dropout=0.25, act="relu",
+        baseline="attn", da_act="gelu", attn2score=True, merge_enable=False,
+        temp_t=0.1,
+    )
+    params = import_mhim_attn(sd)
+    mask = jnp.ones((1, 53), bool)
+    got = model.apply({"params": params}, jnp.asarray(x), mask, method=MHIM.pure)
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), want_logits, rtol=1e-3, atol=1e-4
+    )
+    got_cls, got_score = model.apply(
+        {"params": params}, jnp.asarray(x), mask, method=MHIM.forward_teacher
+    )
+    np.testing.assert_allclose(np.asarray(got_cls), want_cls, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_score)[0], want_score.reshape(-1), rtol=1e-3, atol=1e-4
+    )
