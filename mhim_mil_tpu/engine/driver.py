@@ -370,6 +370,12 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
 
         row = evaluate(cfg, eval_step, state, val_slides, fold, bootstrap=False)
         rows = {"val": row}
+        # --always_test: track test metrics every epoch (reference main.py
+        # always_test rows; selection still uses val only)
+        if cfg.always_test:
+            rows["test_track"] = evaluate(
+                cfg, eval_step, state, test_slides, fold, bootstrap=False
+            )
         # MHIM / generic-EMA: also validate the EMA weights
         # (reference main.py:273-277).
         if eval_tea is not None and (cfg.model == "mhim" or cfg.model_ema):
@@ -377,6 +383,8 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
                 cfg, eval_tea, state, val_slides, fold, bootstrap=False
             )
         for name, r in rows.items():
+            if name == "test_track":
+                continue  # never select on test
             if r["_key_metric"] > best["metric"]:
                 best = {
                     "metric": r["_key_metric"],

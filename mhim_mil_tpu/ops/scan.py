@@ -90,6 +90,11 @@ def selective_scan_2d(x, delta, A, B, C, D):
     bs, h, w, ed = x.shape
     n = A.shape[-1]
 
+    # remat the row body: reverse-mode scan must store each row's carry
+    # (h_row, unavoidable) but NOT the [Bs,W,ED,N] dA/dBx intermediates —
+    # those are recomputed from the thin row inputs, cutting training-time
+    # HBM for big grids (e.g. 432² CAMELYON grids) by ~3x.
+    @jax.checkpoint
     def row_step(h_prev, row):
         x_r, delta_r, b_r, c_r = row  # [Bs,W,ED] / [Bs,W,N]
         dA = jnp.exp(delta_r[..., None] * A)  # [Bs,W,ED,N]
