@@ -4,17 +4,12 @@ TPU replacements for the reference's native-kernel boundary (SURVEY.md §2):
 - 1D Blelchoch ``PScan`` (reference modules/mamba/pscan.py:58-246) →
   ``jax.lax.associative_scan`` over the first-order recurrence monoid.
 - 2D ``PScan_2D`` / the missing ``pscan_cuda`` extension (reference
-  pscan.py:248-553, pscan_2d.py:12-103) → a row-wavefront scan:
-  ``lax.scan`` over grid rows, associative scan along columns within each
-  row. This computes *exactly* the sequential reference recurrence
-  ``h[r,c] = Ā[r,c]·(h[r,c-1] + h[r-1,c]) + B̄x[r,c]``
-  (reference selective_scan_seq_2d, mamba_simple.py:425-467), row by row:
-  given the previous row, each row is a 1D recurrence in c with input
-  ``g[r,c] = Ā[r,c]·h[r-1,c] + B̄x[r,c]``.
-
-Memory design: the ``[H, W, ED, N]`` hidden-state lattice is never
-materialised — each scanned row computes its ``y`` contribution
-(``Σ_n h·C``) and emits only ``[W, ED]``.
+  pscan.py:248-553, pscan_2d.py:12-103) → two variants in
+  ``selective_scan_2d`` (see its docstring): the default ``separable``
+  H-then-W scan matching the reference's deployed parallel kernel, and a
+  ``wavefront`` row-streamed scan computing the reference's *sequential*
+  recurrence exactly (kept for golden tests; numerically divergent for real
+  grid sizes — binomial path blowup).
 """
 
 from __future__ import annotations
@@ -74,9 +69,22 @@ def selective_scan_1d(x, delta, A, B, C, D, mask=None):
     return y
 
 
-def selective_scan_2d(x, delta, A, B, C, D):
-    """2D selective scan over a ``[Bs, H, W, ·]`` grid
-    (recurrence of reference selective_scan_seq_2d, mamba_simple.py:425-467).
+def selective_scan_2d(x, delta, A, B, C, D, variant: str = "separable"):
+    """2D selective scan over a ``[Bs, H, W, ·]`` grid.
+
+    Two variants, mirroring a genuine inconsistency in the reference:
+
+    - ``separable`` (default): horizontal scan along W then vertical scan
+      along H with the same Ā — ``u = Ā·u_left + B̄x; h = Ā·h_up + u``. This
+      is what the reference's *deployed* parallel kernel computes
+      (PScan_2D, pscan.py:248-361: STAGE 1 horizontal / STAGE 2 vertical with
+      A_raw) and it is numerically stable: every source contributes through
+      exactly one L-shaped path with coefficient ≤ 1.
+    - ``wavefront``: the exact recurrence of the reference's *sequential*
+      code ``h[r,c] = Ā·(h[r,c-1] + h[r-1,c]) + B̄x`` (selective_scan_seq_2d,
+      mamba_simple.py:425-467). That recurrence sums over all monotone
+      lattice paths with binomial multiplicity — it overflows for real WSI
+      grids (2^(H+W) growth) and can only have been run on toy inputs.
 
     Args:
       x, delta: ``[Bs, H, W, ED]``; A: ``[ED, N]``; B, C: ``[Bs, H, W, N]``;
@@ -89,6 +97,33 @@ def selective_scan_2d(x, delta, A, B, C, D):
     D = D.astype(jnp.float32)
     bs, h, w, ed = x.shape
     n = A.shape[-1]
+
+    if variant == "separable":
+        # Streamed row-by-row: the [H,W,ED,N] lattice is never materialised
+        # (a fully-vectorised double associative_scan OOMs 16GB HBM at real
+        # WSI grids — ~1.3GB per buffer × ~12 live buffers at 385×216×256×16).
+        # Per row: horizontal scan, then one vertical step h = Ā·h_up + u.
+        @jax.checkpoint
+        def sep_row_step(h_prev, row):
+            x_r, delta_r, b_r, c_r = row  # [Bs,W,ED] / [Bs,W,N]
+            dA = jnp.exp(delta_r[..., None] * A)
+            dBx = (delta_r * x_r)[..., None] * b_r[..., None, :]
+            u = linear_scan(dA, dBx, axis=1)  # along W
+            h_row = dA * h_prev + u  # vertical step (pscan.py:319 A_raw)
+            y_r = jnp.einsum("bwen,bwn->bwe", h_row, c_r)
+            return h_row, y_r
+
+        rows = (
+            x.transpose(1, 0, 2, 3),
+            delta.transpose(1, 0, 2, 3),
+            B.transpose(1, 0, 2, 3),
+            C.transpose(1, 0, 2, 3),
+        )
+        h0 = jnp.zeros((bs, w, ed, n), x.dtype)
+        _, ys = jax.lax.scan(sep_row_step, h0, rows)
+        return ys.transpose(1, 0, 2, 3) + D * x
+    if variant != "wavefront":
+        raise ValueError(f"unknown variant: {variant}")
 
     # remat the row body: reverse-mode scan must store each row's carry
     # (h_row, unavoidable) but NOT the [Bs,W,ED,N] dA/dBx intermediates —

@@ -66,20 +66,58 @@ def test_selective_scan_1d_mask_carries_state():
     assert np.abs(got[0][~keep]).max() == 0.0
 
 
-def test_selective_scan_2d_matches_seq():
-    rng = np.random.default_rng(3)
-    bs, h, w, ed, n = 2, 7, 5, 4, 3
+def _inputs_2d(rng, bs, h, w, ed, n):
     x = rng.normal(size=(bs, h, w, ed)).astype(np.float32)
     delta = (np.log1p(np.exp(rng.normal(size=(bs, h, w, ed)))) * 0.1).astype(np.float32)
     A = (-np.exp(rng.normal(size=(ed, n))) * 0.5).astype(np.float32)
     B = rng.normal(size=(bs, h, w, n)).astype(np.float32)
     C = rng.normal(size=(bs, h, w, n)).astype(np.float32)
     D = rng.normal(size=(ed,)).astype(np.float32)
+    return x, delta, A, B, C, D
+
+
+def test_selective_scan_2d_wavefront_matches_seq():
+    rng = np.random.default_rng(3)
+    args = _inputs_2d(rng, 2, 7, 5, 4, 3)
+    got = np.asarray(
+        selective_scan_2d(*(jnp.asarray(a) for a in args), variant="wavefront")
+    )
+    want = selective_scan_2d_seq(*args)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_selective_scan_2d_separable_matches_loop():
+    """Default variant = the reference's deployed PScan_2D semantics:
+    row scan then column scan with the same A (pscan.py:248-361)."""
+    rng = np.random.default_rng(4)
+    x, delta, A, B, C, D = _inputs_2d(rng, 2, 6, 5, 4, 3)
     got = np.asarray(
         selective_scan_2d(*(jnp.asarray(a) for a in (x, delta, A, B, C, D)))
     )
-    want = selective_scan_2d_seq(x, delta, A, B, C, D)
+    dA = np.exp(delta[..., None] * A)
+    dBx = (delta * x)[..., None] * B[..., None, :]
+    u = np.zeros_like(dBx)
+    for c in range(x.shape[2]):
+        prev = u[:, :, c - 1] if c else 0.0
+        u[:, :, c] = dA[:, :, c] * prev + dBx[:, :, c]
+    hs = np.zeros_like(u)
+    for r in range(x.shape[1]):
+        prev = hs[:, r - 1] if r else 0.0
+        hs[:, r] = dA[:, r] * prev + u[:, r]
+    want = np.einsum("bhwen,bhwn->bhwe", hs, C) + D * x
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_selective_scan_2d_separable_stable_large_grid():
+    """The separable variant must stay finite where the sequential recurrence
+    overflows (binomial path blowup)."""
+    rng = np.random.default_rng(5)
+    x, delta, A, B, C, D = _inputs_2d(rng, 1, 64, 64, 4, 3)
+    delta = np.full_like(delta, 0.001)  # dA ~ 1: worst case
+    got = np.asarray(
+        selective_scan_2d(*(jnp.asarray(a) for a in (x, delta, A, B, C, D)))
+    )
+    assert np.isfinite(got).all()
 
 
 def test_rasterize_grid():
