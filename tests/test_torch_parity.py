@@ -182,3 +182,37 @@ def test_mhim_pure_and_teacher_parity(ref_modules):
     np.testing.assert_allclose(
         np.asarray(got_score)[0], want_score.reshape(-1), rtol=1e-3, atol=1e-4
     )
+
+
+def test_transmil_attention_map_parity(ref_modules):
+    """Bitwise-comparable attention maps (BASELINE.json north star): the
+    cls-row attention of both TransLayers matches the reference's
+    return_attn output."""
+    torch = ref_modules
+    from modules.transmil import TransMIL as RefTransMIL
+
+    from mhim_mil_tpu.models.transformer import TransMIL
+    from mhim_mil_tpu.utils.torch_import import import_transmil
+
+    n = 484  # 22^2: reference square-pad duplication is a no-op
+    ref = RefTransMIL(
+        input_dim=48, n_classes=2, dropout=0.25, act="relu", inner_dim=128,
+        n_heads=4,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, n, 48)).astype(np.float32)
+    with torch.no_grad():
+        logits, attns = ref(torch.tensor(x), return_attn=True)
+    model = TransMIL(
+        input_dim=48, n_classes=2, dropout=0.25, act="relu", inner_dim=128,
+        n_heads=4, parity=True,
+    )
+    out = model.apply(
+        {"params": import_transmil(sd)}, jnp.asarray(x), jnp.ones((1, n), bool),
+        training=False, return_attn=True,
+    )
+    for mine, theirs in zip(out["attns"], attns):
+        np.testing.assert_allclose(
+            np.asarray(mine), theirs.numpy(), rtol=5e-3, atol=1e-5
+        )
