@@ -171,7 +171,15 @@ class MHIM(nn.Module):
         if self.merge_enable:
             keep_sel, merged = self.merge(x, visible, training=training)
             x_c, new_valid, _ = compact(x, keep_sel)
-            s_len = max(1, int(n * self.merge_ratio))
+            # static slice bound for the kept tokens: the v1 masks are static
+            # config, so at most (1-r)(1-r_l)·n instances survive mining and
+            # merge keeps merge_ratio of those — for the flagship preset
+            # (mask_ratio=0.5, merge_ratio=0.2) the student encoder runs at
+            # 0.1·N instead of 0.2·N
+            reduction = 1.0
+            if attn is not None:
+                reduction = (1.0 - self.mask_ratio) * (1.0 - self.mask_ratio_l)
+            s_len = max(1, int(n * reduction * self.merge_ratio))
             x = jnp.concatenate([x_c[:, :s_len], merged], axis=1)
             valid = jnp.concatenate(
                 [new_valid[:, :s_len], jnp.ones((b, self.merge_k), bool)], axis=1
