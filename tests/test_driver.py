@@ -168,3 +168,23 @@ def test_multibucket_ragged():
     cfg = _tiny_cfg(bucket_sizes=(32, 64, 128), synth_bag_size=128, num_epoch=2)
     res = run_experiment(cfg)
     assert np.isfinite(res["summary"]["auc"]["mean"])
+
+
+def test_determinism_same_seed_same_results():
+    """Two identical runs produce identical metrics (the reference's
+    determinism-by-construction stand-in for regression tests, SURVEY.md §4)."""
+    cfg = _tiny_cfg(num_epoch=2)
+    r1 = run_experiment(cfg)
+    r2 = run_experiment(cfg)
+    assert r1["summary"] == r2["summary"]
+
+
+def test_driver_2dmamba_survival():
+    """BASELINE.json config #5: MambaMIL-2D on survival prediction."""
+    cfg = _tiny_cfg(
+        model="2dmamba", datasets="surv_synth", loss="nll_surv", n_classes=4,
+        mambamil_dim=16, mambamil_state_dim=4, mamba_2d_max_hw=10,
+        synth_bag_size=48, bucket_sizes=(48,), num_epoch=2, max_epoch=2,
+    )
+    res = run_experiment(cfg)
+    assert np.isfinite(res["summary"]["cindex"]["mean"])
