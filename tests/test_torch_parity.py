@@ -216,3 +216,33 @@ def test_transmil_attention_map_parity(ref_modules):
         np.testing.assert_allclose(
             np.asarray(mine), theirs.numpy(), rtol=5e-3, atol=1e-5
         )
+
+
+def test_gabmil_logit_parity(ref_modules):
+    torch = ref_modules
+    from modules.abmil import AttentionGated as RefGated
+
+    from mhim_mil_tpu.models.abmil import ABMIL
+    from mhim_mil_tpu.utils.torch_import import linear, strip_module_prefix
+
+    ref = RefGated(input_dim=64, n_classes=2, dropout=0.25, act="relu").eval()
+    sd = strip_module_prefix({k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 41, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+
+    model = ABMIL(input_dim=64, n_classes=2, dropout=0.25, act="relu", gated=True)
+    params = {
+        "FeatureEmbed_0": {"proj": linear(sd, "feature.0")},
+        "GatedAttentionPool_0": {
+            "attn_a": linear(sd, "attention_a.0"),
+            "attn_b": linear(sd, "attention_b.0"),
+            "attn_c": linear(sd, "attention_c"),
+        },
+        "classifier": linear(sd, "classifier.0"),
+    }
+    got = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.ones((1, 41), bool), training=False
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
