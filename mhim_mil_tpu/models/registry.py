@@ -171,6 +171,7 @@ def _transmil(cfg):
             mil_bias=cfg.mil_bias,
             pos=cfg.pos if cfg.pos else "ppeg",
             n_heads=cfg.n_heads,
+            use_flash=cfg.use_flash_attn,
         ),
         "default",
     )

@@ -172,6 +172,7 @@ class TransMIL(nn.Module):
     pos: str = "ppeg"
     n_heads: int = 8
     parity: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -200,7 +201,7 @@ class TransMIL(nn.Module):
         )
 
         attns = []
-        layer1 = TransLayer(self.inner_dim, self.n_heads, self.parity, name="layer1")
+        layer1 = TransLayer(self.inner_dim, self.n_heads, self.parity, self.use_flash, name="layer1")
         if return_attn:
             x, a, *_ = layer1(x, full_mask, training=training, need_attn=True)
             attns.append(a[:, :, 1:])  # drop cls column
@@ -213,7 +214,7 @@ class TransMIL(nn.Module):
             )
             x = jnp.concatenate([x[:, :1], body], axis=1)
 
-        layer2 = TransLayer(self.inner_dim, self.n_heads, self.parity, name="layer2")
+        layer2 = TransLayer(self.inner_dim, self.n_heads, self.parity, self.use_flash, name="layer2")
         if return_attn:
             x, a, *_ = layer2(x, full_mask, training=training, need_attn=True)
             attns.append(a[:, :, 1:])
