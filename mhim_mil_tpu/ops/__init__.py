@@ -10,6 +10,8 @@ from .masked import (
     compact,
 )
 from .masking import select_mask, MaskSchedule, layered_mask
+from .nystrom import nystrom_attention, moore_penrose_pinv
+from .scan import linear_scan, selective_scan_1d, selective_scan_2d
 
 __all__ = [
     "NEG_INF",
@@ -24,4 +26,9 @@ __all__ = [
     "select_mask",
     "MaskSchedule",
     "layered_mask",
+    "nystrom_attention",
+    "moore_penrose_pinv",
+    "linear_scan",
+    "selective_scan_1d",
+    "selective_scan_2d",
 ]
