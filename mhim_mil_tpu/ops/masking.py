@@ -49,9 +49,13 @@ def select_mask(
     - multi-head attention ``[B, H, N]`` is fused by ``vote`` (per-head top-k
       indicator, summed, re-top-k'd) or ``mean``-style union of per-head
       top-(k//H).
-    - ``prev`` composes with an earlier selection by set-union; the candidate
-      count is discounted by the previously selected instances
-      (``ps_tmp = ps - |prev|``).
+    - ``prev`` composes with an earlier selection by set-union. The candidate
+      count is NOT discounted by the previous selection: the reference's
+      ``ps_tmp = ps - |prev|`` branch (masking.py:38-41) only fires when
+      ``cls_attn_topk_idx_other`` is None, and every composed call in
+      ``MHIM.get_mask`` passes it (mhim.py:135-146,160-176) — so the deployed
+      k is ``ceil(ps·ratio)`` and overlap with ``prev`` simply dedups via the
+      union.
 
     Args:
       attn: ``[B, N]`` or ``[B, H, N]`` attention scores.
@@ -64,8 +68,7 @@ def select_mask(
     """
     valid = valid.astype(bool)
     n_valid = jnp.sum(valid, axis=-1)
-    prev_n = jnp.sum(prev, axis=-1) if prev is not None else 0
-    ps_tmp = (n_valid - prev_n).astype(jnp.float32)
+    ps_tmp = n_valid.astype(jnp.float32)
 
     mask_ratio = jnp.asarray(mask_ratio, jnp.float32)
     random_ratio = jnp.asarray(random_ratio, jnp.float32)

@@ -246,3 +246,65 @@ def test_gabmil_logit_parity(ref_modules):
         {"params": params}, jnp.asarray(x), jnp.ones((1, 41), bool), training=False
     )["logits"]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_select_mask_golden_vs_reference(ref_modules):
+    """The mining selection matches the reference's select_mask_fn exactly
+    (deterministic paths: unique attention values, no random pool)."""
+    torch = ref_modules
+    from modules.mhim_modules.masking import select_mask_fn
+
+    from mhim_mil_tpu.ops.masking import select_mask
+
+    rng = np.random.default_rng(11)
+    ps = 60
+    attn1d = rng.permutation(ps).astype(np.float32) / ps  # unique values
+
+    def ref_removed(len_keep, mask_ids):
+        return set(mask_ids[0, len_keep:].tolist())
+
+    for largest, ratio in [(True, 0.3), (False, 0.25), (True, 0.07)]:
+        lk, ids = select_mask_fn(
+            ps, torch.tensor(attn1d[None]), largest, ratio
+        )
+        want = ref_removed(lk, ids)
+        sel = select_mask(
+            jax.random.PRNGKey(0), jnp.asarray(attn1d[None]),
+            jnp.ones((1, ps), bool), ratio, largest=largest,
+        )
+        got = set(np.flatnonzero(np.asarray(sel)[0]).tolist())
+        assert got == want, (largest, ratio)
+
+    # composed two-stage selection, as MHIM.get_mask wires it
+    # (low-attention stage then high-attention stage, union semantics)
+    lk1, ids1 = select_mask_fn(ps, torch.tensor(attn1d[None]), False, 0.2)
+    cls_other = ids1[:, lk1:].squeeze()
+    lk2, ids2 = select_mask_fn(
+        ps, torch.tensor(attn1d[None]), True, 0.3,
+        mask_ids_other=ids1, len_keep_other=ps,
+        cls_attn_topk_idx_other=cls_other,
+    )
+    want = ref_removed(lk2, ids2)
+    prev = select_mask(
+        jax.random.PRNGKey(0), jnp.asarray(attn1d[None]),
+        jnp.ones((1, ps), bool), 0.2, largest=False,
+    )
+    sel = select_mask(
+        jax.random.PRNGKey(1), jnp.asarray(attn1d[None]),
+        jnp.ones((1, ps), bool), 0.3, largest=True, prev=prev,
+    )
+    got = set(np.flatnonzero(np.asarray(sel)[0]).tolist())
+    assert got == want
+
+    # single-head vote fusion is deterministic (votes are exactly the top-k)
+    attn3d = attn1d[None, None, :]
+    lk3, ids3 = select_mask_fn(
+        ps, torch.tensor(attn3d), True, 0.3, msa_fusion="vote"
+    )
+    want = ref_removed(lk3, ids3)
+    sel = select_mask(
+        jax.random.PRNGKey(0), jnp.asarray(attn3d),
+        jnp.ones((1, ps), bool), 0.3, largest=True, msa_fusion="vote",
+    )
+    got = set(np.flatnonzero(np.asarray(sel)[0]).tolist())
+    assert got == want
