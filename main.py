@@ -27,6 +27,12 @@ def main(argv=None) -> None:
     except Exception:
         pass
 
+    if cfg.debug:
+        # reference --debug enables torch.autograd anomaly detection
+        # (engines/base_engine.py:122-123); the JAX equivalent re-runs any
+        # jitted computation that produced a NaN in op-by-op mode
+        jax.config.update("jax_debug_nans", True)
+
     results = run_experiment(cfg)
     if cfg.output_path:
         os.makedirs(cfg.output_path, exist_ok=True)

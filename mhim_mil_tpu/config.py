@@ -135,6 +135,8 @@ class Config:
     model_path: Optional[str] = None
     save_result: bool = False
     script_mode: str = "all"  # all | no_train | test | only_train
+    profile: bool = False  # jax.profiler trace of the first train epoch
+    debug: bool = False  # nan-check every jitted output (jax_debug_nans)
 
     # ---- TPU-specific (no reference equivalent) ----
     bucket_sizes: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)

@@ -354,7 +354,14 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         stopper.load_state_dict(meta.get("early_stop", {}))
         print(f"[fold {fold}] resumed at epoch {epoch_start}")
 
+    profiling = False
     for epoch in range(epoch_start, cfg.num_epoch):
+        # --profile: trace the first trained epoch (the reference's flag is
+        # consumed nowhere, options.py:184; here it emits a TensorBoard-
+        # compatible trace under output_path/profile)
+        if cfg.profile and epoch == epoch_start and cfg.output_path:
+            jax.profiler.start_trace(os.path.join(cfg.output_path, "profile"))
+            profiling = True
         t0 = time.time()
         n_steps = 0
         for jb in _prefetch_to_device(
@@ -367,6 +374,9 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             state, tm = train_step(state, jb)
             n_steps += 1
         train_loss = float(tm["loss"])
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
 
         row = evaluate(cfg, eval_step, state, val_slides, fold, bootstrap=False)
         rows = {"val": row}

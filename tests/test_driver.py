@@ -188,3 +188,16 @@ def test_driver_2dmamba_survival():
     )
     res = run_experiment(cfg)
     assert np.isfinite(res["summary"]["cindex"]["mean"])
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    import os
+
+    cfg = _tiny_cfg(num_epoch=1, max_epoch=1, profile=True, output_path=str(tmp_path))
+    run_experiment(cfg)
+    prof = tmp_path / "profile"
+    assert prof.exists()
+    found = []
+    for root, _, files in os.walk(prof):
+        found += files
+    assert any("xplane" in f or f.endswith(".json.gz") for f in found), found
