@@ -141,14 +141,29 @@ def _iter_batches(
         yield b
 
 
+def device_eval_batches(cfg: Config, slides):
+    """Pre-stage a deterministic eval split on device once — eval batches are
+    identical every epoch, and host→device transfer is the epoch-loop
+    bottleneck on remote-TPU links. Returns [(device_batch, host_labels)]."""
+    out = []
+    for b in _iter_batches(cfg, slides, shuffle=False, seed=0):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        out.append((jb, b))
+    return out
+
+
 def evaluate(cfg: Config, eval_step, state, slides, fold: int, bootstrap: bool):
     """Run the jitted eval forward over a split and compute the metric row
     (reference BaseTrainer.validate engines/base_engine.py:234-329 +
-    get_metric_val metrics.py:161-263)."""
+    get_metric_val metrics.py:161-263). ``slides`` may be a raw slide list or
+    the output of ``device_eval_batches``."""
     logits_all, targets, valid_all = [], [], []
     cens, events = [], []
-    for b in _iter_batches(cfg, slides, shuffle=False, seed=0):
-        jb = {k: jnp.asarray(v) for k, v in b.items()}
+    if slides and isinstance(slides[0], tuple):
+        staged = slides
+    else:
+        staged = device_eval_batches(cfg, slides)
+    for jb, b in staged:
         out = eval_step(state, jb)
         logits = np.asarray(out["logits"], np.float32)
         if "sub_logits" in out:  # DSMIL dual-head fusion (common_mil.py:66-67)
@@ -308,6 +323,15 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
     if mesh is not None:
         state = replicate_tree(mesh, state)
         print(f"[fold {fold}] mesh: dp={mesh.shape['dp']} sp={mesh.shape['sp']}")
+
+    # stage the deterministic eval splits on device once (transfer-bound
+    # epoch loops otherwise re-upload them every epoch); skip under a mesh —
+    # evaluate() uses single-device placement
+    if mesh is None:
+        val_slides = device_eval_batches(cfg, val_slides)
+        test_slides = device_eval_batches(
+            cfg, test_slides
+        ) if test_slides is not val_slides else val_slides
 
     # evaluation-only mode (reference --script_mode test, options.py:189 +
     # main.py best-reload path :384-405)
