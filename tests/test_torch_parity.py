@@ -308,3 +308,50 @@ def test_select_mask_golden_vs_reference(ref_modules):
     )
     got = set(np.flatnonzero(np.asarray(sel)[0]).tolist())
     assert got == want
+
+
+def test_soft_target_ce_parity(ref_modules):
+    torch = ref_modules
+    from modules.mhim_modules.losses import SoftTargetCrossEntropy
+
+    from mhim_mil_tpu.engine.losses import soft_target_ce
+
+    rng = np.random.default_rng(13)
+    s = rng.normal(size=(4, 512)).astype(np.float32)
+    t = rng.normal(size=(4, 512)).astype(np.float32)
+    ref = SoftTargetCrossEntropy(0.1, 1.0)
+    want = float(ref(torch.tensor(s), torch.tensor(t)))
+    got = float(soft_target_ce(jnp.asarray(s), jnp.asarray(t), temp_t=0.1, temp_s=1.0))
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+
+
+def test_nll_surv_parity(ref_modules):
+    torch = ref_modules
+    import sys
+    import types
+
+    # train_utils pulls timm.scheduler + utils (git/wandb); stub enough
+    if "timm.scheduler" not in sys.modules:
+        m = types.ModuleType("timm.scheduler")
+        m.create_scheduler_v2 = lambda *a, **k: None
+        sys.modules["timm.scheduler"] = m
+        sys.modules["timm"].scheduler = m
+    if "wandb" not in sys.modules:
+        sys.modules["wandb"] = types.ModuleType("wandb")
+    from train_utils import NLLSurvLoss
+
+    from mhim_mil_tpu.engine.losses import nll_surv_loss
+
+    rng = np.random.default_rng(14)
+    logits = rng.normal(size=(6, 4)).astype(np.float32)
+    y = rng.integers(0, 4, size=(6,))
+    c = rng.integers(0, 2, size=(6,))
+    ref = NLLSurvLoss(alpha=0.0)
+    want = float(
+        ref(torch.tensor(y[:, None]), torch.tensor(c[:, None]).float(),
+            logits=torch.tensor(logits))
+    )
+    got = float(
+        nll_surv_loss(jnp.asarray(logits), jnp.asarray(y), jnp.asarray(c), alpha=0.0)
+    )
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
