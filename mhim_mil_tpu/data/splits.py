@@ -9,7 +9,7 @@ discretisation over uncensored events.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 import pandas as pd

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import FeatureEmbed, TanhAttentionPool, GatedAttentionPool, dense

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import masked_softmax, masked_max, NEG_INF
-from .layers import FeatureEmbed, dense, get_act
+from .layers import dense, get_act
 
 
 class BClassifier(nn.Module):

@@ -19,7 +19,6 @@ Reference: modules/mhim.py:12-378. TPU re-design:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ becomes a config choice.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

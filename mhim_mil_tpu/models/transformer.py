@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ..ops.nystrom import nystrom_attention
 from .layers import FeatureEmbed, dense, xavier_normal
-from .positional import PPEG, PEG, SINCOS
+from .positional import PPEG
 
 
 class NystromMSA(nn.Module):

@@ -22,7 +22,7 @@ Newton–Schulz iterations (reference nystrom_attention.py:12-27).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

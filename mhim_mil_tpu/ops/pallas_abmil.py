@@ -22,7 +22,7 @@ modules/mhim_modules/baseline.py:8-86.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

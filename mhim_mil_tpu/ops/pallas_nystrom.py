@@ -29,8 +29,7 @@ should be flipped on when running on directly-attached TPUs.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

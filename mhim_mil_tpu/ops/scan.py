@@ -14,8 +14,6 @@ TPU replacements for the reference's native-kernel boundary (SURVEY.md §2):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

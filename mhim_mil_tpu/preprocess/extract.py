@@ -9,7 +9,7 @@ constants per encoder family mirror CLAM/utils/constants.py.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ and the teacher-EMA momentum without host round-trips.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import optax
 
 
 def cosine_schedule(base_value, final_value, total_steps, warmup_steps=0, warmup_start=0.0):
