@@ -208,6 +208,8 @@ def evaluate(cfg: Config, eval_step, state, slides, fold: int, bootstrap: bool):
         row["_key_metric"] = row[key]
     # val loss proxy for early stopping: mean CE / NLL on the eval split
     row["_val_loss"] = _host_loss(cfg, logits, targets, cens, events, keep)
+    row["_logits"] = logits
+    row["_targets"] = targets
     return row
 
 
@@ -474,6 +476,12 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             metadata={"epoch": best["epoch"], "fold": fold,
                       "val_metric": best["metric"], "teacher": best["teacher"]},
         )
+        if cfg.save_result:
+            # per-slide test predictions (reference --save_result)
+            np.savez(
+                os.path.join(cfg.output_path, f"fold_{fold}_test_predictions.npz"),
+                logits=test_row["_logits"], targets=test_row["_targets"],
+            )
     if cfg.auto_resume and ckp_path and os.path.exists(ckp_path):
         os.remove(ckp_path)
     return {

@@ -201,3 +201,15 @@ def test_profile_flag_writes_trace(tmp_path):
     for root, _, files in os.walk(prof):
         found += files
     assert any("xplane" in f or f.endswith(".json.gz") for f in found), found
+
+
+def test_save_result_writes_predictions(tmp_path):
+    import os
+
+    cfg = _tiny_cfg(num_epoch=1, max_epoch=1, save_result=True,
+                    output_path=str(tmp_path))
+    run_experiment(cfg)
+    p = tmp_path / "fold_0_test_predictions.npz"
+    assert p.exists()
+    data = np.load(p)
+    assert data["logits"].shape[0] == data["targets"].shape[0] > 0
