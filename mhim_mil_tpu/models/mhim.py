@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 import optax
 
-from ..ops.masked import compact
+from ..ops.masked import compact, einsum_f32
 from ..ops.masking import MaskSchedule, layered_mask
 from ..engine.losses import soft_target_ce, build_criterion
 from ..engine.steps import cast_compute
@@ -43,7 +43,10 @@ def _cam_score(features: jax.Array, kernel: jax.Array, mask: jax.Array) -> jax.A
     (reference: modules/mhim_modules/scoring.py:37-58 — the reference adds
     only ``bias[0]``, a constant shift that cancels in the class softmax).
     """
-    cam = features.astype(jnp.float32) @ kernel.astype(jnp.float32)  # [B,N,C]
+    cam = einsum_f32(
+        "bnd,dc->bnc", features, kernel.astype(features.dtype)
+    )  # [B,N,C], fp32 out of a narrow dot — no wide copy of the features
+
     cam = jax.nn.softmax(cam, axis=-1)
     score = jnp.max(cam, axis=-1)  # [B,N]
     return jnp.where(mask, score, 0.0)
@@ -154,37 +157,58 @@ class MHIM(nn.Module):
     ):
         """Student training pass (reference mhim.py:318-378): mask hard
         instances by teacher attention, merge the masked remainder, encode,
-        predict, and pay the consistency loss against the teacher feature."""
-        x = self.feature(x=feats, training=training)
+        predict, and pay the consistency loss against the teacher feature.
+
+        TPU layout note: the raw features are compacted to the worst-case
+        surviving slice *before* the embed MLP, so the embed, the merge
+        cross-attention kv and all their backward passes run at ~(1−r)·N
+        instead of N (the reference embeds the full bag then gathers,
+        mhim.py:331-349 — identical math, per-instance ops commute with the
+        gather)."""
         mask = mask.astype(bool)
-        b, n, _ = x.shape
+        b, n, _ = feats.shape
 
         if attn is not None:
             removed = layered_mask(
                 self.make_rng("mask"), attn, mask, self.sched, mask_ratio_h_now
             )
             visible = mask & ~removed
+            # Static bound on how many instances can survive mining. The
+            # stages compose by set-union (ops/masking.py), so the guaranteed
+            # removal is the *max* of the always-firing stage sizes — NOT the
+            # (1-r)(1-r_l) product, which undercounts survivors whenever the
+            # random and low-attention selections overlap and silently
+            # dropped kept tokens. The scheduled high-attention stage can
+            # decay to zero, so it contributes nothing to the guarantee.
+            # (-1 absorbs f32 rounding of the traced per-bag counts.)
+            guar = 0
+            if self.mask_ratio > 0:
+                guar = max(guar, int(n * self.mask_ratio) - 1)
+            if self.mask_ratio_l > 0:
+                guar = max(guar, int(n * self.mask_ratio_l) - 1)
+            v_static = n - max(guar, 0)
         else:
             visible = mask
+            v_static = n
+
+        if v_static < n:
+            feats_v, vis, _ = compact(feats, visible, out_len=v_static)
+        else:
+            feats_v, vis = feats, visible
+
+        x = self.feature(x=feats_v, training=training)
 
         if self.merge_enable:
-            keep_sel, merged = self.merge(x, visible, training=training)
-            x_c, new_valid, _ = compact(x, keep_sel)
-            # static slice bound for the kept tokens: the v1 masks are static
-            # config, so at most (1-r)(1-r_l)·n instances survive mining and
-            # merge keeps merge_ratio of those — for the flagship preset
-            # (mask_ratio=0.5, merge_ratio=0.2) the student encoder runs at
-            # 0.1·N instead of 0.2·N
-            reduction = 1.0
-            if attn is not None:
-                reduction = (1.0 - self.mask_ratio) * (1.0 - self.mask_ratio_l)
-            s_len = max(1, int(n * reduction * self.merge_ratio))
-            x = jnp.concatenate([x_c[:, :s_len], merged], axis=1)
+            keep_sel, merged = self.merge(x, vis, training=training)
+            # +1 absorbs f32 rounding in the traced per-bag keep counts.
+            s_len = max(1, min(int(v_static * self.merge_ratio) + 1, v_static))
+            x_c, new_valid, _ = compact(x, keep_sel, out_len=s_len)
+            x = jnp.concatenate([x_c, merged], axis=1)
             valid = jnp.concatenate(
-                [new_valid[:, :s_len], jnp.ones((b, self.merge_k), bool)], axis=1
+                [new_valid, jnp.ones((b, self.merge_k), bool)], axis=1
             )
         else:
-            valid = visible
+            valid = vis
 
         out = self.online_encoder(x, valid, training=training)
 

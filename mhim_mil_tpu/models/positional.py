@@ -34,10 +34,37 @@ def _square_grid(x: jax.Array, mask: jax.Array):
     return x.reshape(b, hw, hw, c), hw, n
 
 
+class _DWKernel(nn.Module):
+    """Parameter container for one depthwise-conv branch of PPEG. Keeps the
+    ``{name: {kernel, bias}}`` tree (and init) of the ``nn.Conv`` it replaces,
+    so torch imports and older checkpoints load unchanged."""
+
+    k: int
+    dim: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", xavier_normal, (self.k, self.k, 1, self.dim))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.dim,))
+            if self.use_bias
+            else None
+        )
+        return kern, bias
+
+
 class PPEG(nn.Module):
     """Pyramid positional-encoding generator: three parallel depthwise convs
     (k, 5, 3) on the square token grid plus identity
-    (reference: modules/emb_position.py:85-121, modules/transmil.py:50-64)."""
+    (reference: modules/emb_position.py:85-121, modules/transmil.py:50-64).
+
+    The three branches and the identity are linear in the same input, so they
+    are folded into a *single* k×k depthwise kernel (smaller kernels centered
+    by zero-padding, identity as a center delta): exactly the same math at
+    ~40% of the taps and one conv dispatch — depthwise convs run on the TPU's
+    VPU, where this op was a measured hot spot of the Nystrom stack.
+    """
 
     dim: int = 512
     k: int = 7
@@ -47,23 +74,28 @@ class PPEG(nn.Module):
     def __call__(self, x, mask):
         grid, hw, n = _square_grid(x, mask)
 
-        def dwconv(k, name):
-            return nn.Conv(
-                self.dim,
-                (k, k),
-                padding="SAME",
-                feature_group_count=self.dim,
-                use_bias=self.use_bias,
-                kernel_init=xavier_normal,
-                name=name,
-            )
+        k7, b7 = _DWKernel(self.k, self.dim, self.use_bias, name="proj")()
+        k5, b5 = _DWKernel(5, self.dim, self.use_bias, name="proj1")()
+        k3, b3 = _DWKernel(3, self.dim, self.use_bias, name="proj2")()
 
-        out = (
-            grid
-            + dwconv(self.k, "proj")(grid)
-            + dwconv(5, "proj1")(grid)
-            + dwconv(3, "proj2")(grid)
+        kk = self.k
+        p5, p3 = (kk - 5) // 2, (kk - 3) // 2
+        kern = (
+            k7
+            + jnp.pad(k5, ((p5, p5), (p5, p5), (0, 0), (0, 0)))
+            + jnp.pad(k3, ((p3, p3), (p3, p3), (0, 0), (0, 0)))
         )
+        kern = kern.at[kk // 2, kk // 2, 0, :].add(1.0)  # + identity
+        out = jax.lax.conv_general_dilated(
+            grid,
+            kern.astype(grid.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
+        )
+        if self.use_bias:
+            out = out + (b7 + b5 + b3).astype(grid.dtype)
         out = out.reshape(x.shape[0], hw * hw, self.dim)[:, :n]
         return jnp.where(mask[..., None], out, x)
 

@@ -20,18 +20,41 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def einsum_f32(subscripts: str, *operands: jax.Array) -> jax.Array:
+    """Einsum with fp32 accumulation and output from (possibly bf16) operands.
+
+    On TPU this is the MXU's native mixed-precision dot
+    (``preferred_element_type=float32`` — reads stay narrow, accumulator is
+    fp32). The CPU dot thunk lacks BF16xBF16=F32 support, so other backends
+    upcast the operands instead (tests run on CPU; perf paths run on TPU).
+    """
+    if jax.default_backend() == "tpu":
+        return jnp.einsum(
+            subscripts, *operands, preferred_element_type=jnp.float32
+        )
+    return jnp.einsum(subscripts, *(o.astype(jnp.float32) for o in operands))
+
+
 def masked_softmax(logits: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
     """Softmax over ``axis`` restricted to positions where ``mask`` is True.
 
     Fully-masked rows return all zeros (not NaN). ``mask`` broadcasts against
     ``logits``.
+
+    Statistics (max subtraction, exp, denominator sum) always run in fp32;
+    the result is returned in the input dtype, so bf16 attention tensors stay
+    bf16 in HBM (halving the dominant traffic of the Nystrom softmaxes) while
+    the math stays stable.
     """
-    logits = jnp.where(mask, logits, NEG_INF)
+    out_dtype = logits.dtype
+    logits = jnp.where(mask, logits.astype(jnp.float32), NEG_INF)
     # Subtract a finite max for stability even when everything is masked.
     m = jnp.max(logits, axis=axis, keepdims=True)
-    unnorm = jnp.exp(logits - jax.lax.stop_gradient(m)) * mask
-    denom = jnp.sum(unnorm, axis=axis, keepdims=True)
-    return unnorm / jnp.maximum(denom, 1e-30)
+    # Cast the exp to the output dtype *before* the denominator sum so the
+    # materialized intermediate is narrow; the sum still accumulates in fp32.
+    unnorm = (jnp.exp(logits - jax.lax.stop_gradient(m)) * mask).astype(out_dtype)
+    denom = jnp.sum(unnorm, axis=axis, keepdims=True, dtype=jnp.float32)
+    return (unnorm / jnp.maximum(denom, 1e-30)).astype(out_dtype)
 
 
 def masked_logsumexp(logits: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
@@ -106,12 +129,17 @@ def random_subset_mask(rng: jax.Array, pool: jax.Array, k: jax.Array) -> jax.Arr
     return topk_mask(u, pool, k, largest=True)
 
 
-def compact(x: jax.Array, keep: jax.Array):
+def compact(x: jax.Array, keep: jax.Array, out_len: int | None = None):
     """Move kept instances to the front of the bag, preserving index order.
 
     Returns ``(x_sorted, new_valid, perm)`` where ``x_sorted[b, :n_keep_b]``
     are the kept instances of bag ``b`` in ascending original-index order and
     ``new_valid[b, i] = i < n_keep_b``.
+
+    ``out_len`` truncates the result to a static prefix length: the gather
+    then moves only ``out_len`` rows instead of the full bag. The caller must
+    guarantee ``n_keep_b <= out_len`` for every bag (see MHIM's worst-case
+    union bound) — kept rows beyond it would be silently dropped.
 
     This is the TPU equivalent of the reference's
     ``mask_ids = [keep_ids ‖ masked_ids]; gather(:len_keep)`` (reference:
@@ -123,8 +151,10 @@ def compact(x: jax.Array, keep: jax.Array):
     keep = keep.astype(bool)
     # Stable argsort of "not kept" puts kept indices first, ascending.
     perm = jnp.argsort(~keep, axis=-1, stable=True)
+    if out_len is not None and out_len < keep.shape[-1]:
+        perm = perm[..., :out_len]
     x_sorted = jnp.take_along_axis(x, perm[..., None], axis=-2)
     n_keep = jnp.sum(keep, axis=-1, keepdims=True)
-    idx = jnp.arange(keep.shape[-1])[None, :]
+    idx = jnp.arange(perm.shape[-1])[None, :]
     new_valid = idx < n_keep
     return x_sorted, new_valid, perm

@@ -70,6 +70,26 @@ def select_mask(
     n_valid = jnp.sum(valid, axis=-1)
     ps_tmp = n_valid.astype(jnp.float32)
 
+    # Static fast path: when the enlarged pool provably saturates at *all*
+    # valid instances (the reference's "pure random mask via
+    # random_ratio=0.001" trick, masking.py:31-35), the attention ranking is
+    # a no-op — the selection is exactly a uniform subsample of ``valid``.
+    # Skipping the vote/top-k machinery drops four [B(,H),N] argsorts from
+    # the flagship's mining stage 1. Bit-identical to the general path: the
+    # same single ``rng`` draw decides the same subsample.
+    if (
+        isinstance(mask_ratio, (int, float))
+        and isinstance(random_ratio, (int, float))
+        and float(mask_ratio) / max(float(random_ratio), 1e-12) >= 1.0
+    ):
+        k_sub = jnp.ceil(
+            ps_tmp * min(float(mask_ratio), 1.0) - 1e-4
+        ).astype(jnp.int32)
+        sel = random_subset_mask(rng, valid, k_sub)
+        if prev is not None:
+            sel = sel | prev
+        return sel & valid
+
     mask_ratio = jnp.asarray(mask_ratio, jnp.float32)
     random_ratio = jnp.asarray(random_ratio, jnp.float32)
     eff = mask_ratio / jnp.maximum(random_ratio, 1e-12)
