@@ -4,14 +4,29 @@ North-star metric (BASELINE.json): bags/sec/chip at 10k-instance WSI bags for
 the flagship MHIM teacher/student step (teacher forward + mining + student
 forward/backward + optimizer + teacher EMA, all one XLA program).
 
-The reference provides no absolute numbers (BASELINE.md); its protocol is a
-CUDA-event latency loop at batch=1 (reference: benchmark.py:25-72). We anchor
-``vs_baseline`` to A100_BASELINE_BAGS_PER_SEC, an estimate of the reference
-single-A100 training throughput at 10k-instance bags (batch=1 Python-loop
-steps at ~8 it/s — the reference's own engine design caps it near this);
-the >20x target therefore corresponds to vs_baseline >= 20.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} and writes
+supplementary rows (ragged-mask throughput, p50/p90 per-slide inference
+latency, the baseline decomposition) to ``bench_detail.json``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The ``vs_baseline`` denominator — the reference's A100 throughput on its own
+protocol (batch=1 eager PyTorch, 10,240x1024 bags, flagship selfattn preset)
+— is a measured decomposition, not a guess (see BASELINE.md "Denominator
+derivation" for the full accounting):
+
+  * 6,745 eager aten ops dispatched per training step, measured with
+    torch.profiler on the live reference code at the flagship preset
+    (teacher fwd + student fwd/bwd + Adam + teacher-EMA python walk).
+    At the commonly cited 8 us/op eager dispatch+launch cost, and with the
+    per-step host sync (the set-ops in select_mask_fn force a device->host
+    round trip every step, reference masking.py:60-88) preventing pipelined
+    dispatch from hiding it: ~54 ms/step host-side.
+  * ~5 ms/step measured for the host-side python set/index block of
+    ``get_mask`` at 10k-instance scale (device-independent).
+  * ~2 ms/step GPU compute: ~170 GFLOP/bag (same math as this framework)
+    at a generous 35% MFU of an A100's 312 bf16 TFLOP/s.
+
+  => ~61 ms/step => 16.4 bags/s. Every component is either measured on the
+  reference's actual code or resolved generously in the reference's favor.
 """
 
 from __future__ import annotations
@@ -21,25 +36,20 @@ import time
 
 import numpy as np
 
-A100_BASELINE_BAGS_PER_SEC = 8.0  # estimated reference throughput (see module doc)
+# Derived above; see BASELINE.md "Denominator derivation".
+A100_BASELINE_BAGS_PER_SEC = 16.4
 
 BAG_SIZE = 10240  # 10k-instance bucket
 FEAT_DIM = 1024
 BATCH = 4
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
+LATENCY_REPS = 40
 
 
-def main() -> None:
+def _make_state_and_step(cfg_overrides=None):
     import jax
     import jax.numpy as jnp
-
-    # Persistent compilation cache: bench re-runs skip the ~90s first compile.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
 
     from mhim_mil_tpu.config import load_config
     from mhim_mil_tpu.models import build_model
@@ -63,9 +73,9 @@ def main() -> None:
         merge_k=1,
         aux_alpha=0.5,
         attn2score=True,
+        **(cfg_overrides or {}),
     )
     model, _ = build_model(cfg)
-
     rng = np.random.default_rng(0)
     batch = {
         "feats": jnp.asarray(
@@ -75,33 +85,97 @@ def main() -> None:
         "bag_valid": jnp.ones((BATCH,), bool),
         "target": jnp.asarray(rng.integers(0, 2, size=(BATCH,)), jnp.int32),
     }
-
     lr = make_lr_schedule(cfg, steps_per_epoch=10)
     state = create_mhim_state(cfg, model, jax.random.PRNGKey(0), batch, lr)
     step = make_mhim_train_step(cfg, model, steps_per_epoch=10)
+    return cfg, model, state, step, batch
 
-    # Compile + warmup. NOTE: a host fetch (float()) is the only reliable
-    # sync on the remote-TPU backend — block_until_ready returns early there.
+
+def _throughput(state, step, batch):
+    """bags/sec of the fused train step. NOTE: a host fetch (float()) is the
+    only reliable sync on the remote-TPU backend — block_until_ready returns
+    early there; the state chain forces every step to complete."""
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     float(metrics["loss"])
-
-    # Measured: dispatch asynchronously, fetch once at the end (the state
-    # chain forces every step to complete before the last loss exists).
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = step(state, batch)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
+    return MEASURE_STEPS * BATCH / dt
 
-    bags_per_sec = MEASURE_STEPS * BATCH / dt
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: bench re-runs skip the first compile.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    cfg, model, state, step, batch = _make_state_and_step()
+
+    # 1. Dense 10k bags (the headline number).
+    dense_bps = _throughput(state, step, batch)
+
+    # 2. Ragged bags: realistic CAMELYON16-like length spread padded into the
+    #    10k bucket (the reference pays per-instance cost; this framework pays
+    #    the bucket cost — measuring it keeps the padding overhead honest).
+    rng = np.random.default_rng(1)
+    lens = rng.integers(BAG_SIZE // 2, BAG_SIZE + 1, size=(BATCH,))
+    ragged = dict(batch)
+    ragged["mask"] = jnp.asarray(np.arange(BAG_SIZE)[None, :] < lens[:, None])
+    ragged_bps = _throughput(state, step, ragged)
+
+    # 3. p50/p90 per-slide inference latency (batch=1 forward_test, jitted,
+    #    including the host round-trip — what a deployed scorer would see).
+    from mhim_mil_tpu.models.mhim import make_mhim_eval_step
+
+    eval_step = make_mhim_eval_step(cfg, model)
+    one = {
+        "feats": batch["feats"][:1],
+        "mask": batch["mask"][:1],
+    }
+    float(jnp.sum(eval_step(state, one)["logits"]))  # compile
+    lats = []
+    for _ in range(LATENCY_REPS):
+        t0 = time.perf_counter()
+        float(jnp.sum(eval_step(state, one)["logits"]))
+        lats.append((time.perf_counter() - t0) * 1000)
+    p50, p90 = float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
+
+    detail = {
+        "dense_bags_per_sec": round(dense_bps, 2),
+        "ragged_bags_per_sec": round(ragged_bps, 2),
+        "ragged_mean_len": int(lens.mean()),
+        "infer_p50_ms": round(p50, 2),
+        "infer_p90_ms": round(p90, 2),
+        "batch": BATCH,
+        "bag_size": BAG_SIZE,
+        "device": str(jax.devices()[0].device_kind),
+        "baseline_model": {
+            "bags_per_sec": A100_BASELINE_BAGS_PER_SEC,
+            "derivation": "6745 measured eager ops x 8us dispatch + 5ms "
+            "measured host set-block + 2ms compute @35% A100 MFU "
+            "(see BASELINE.md)",
+        },
+    }
+    with open("bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=1)
+
     print(
         json.dumps(
             {
                 "metric": "mhim_train_bags_per_sec_10k",
-                "value": round(bags_per_sec, 2),
-                "unit": "bags/sec/chip (10240x1024 bags, MHIM selfattn train step)",
-                "vs_baseline": round(bags_per_sec / A100_BASELINE_BAGS_PER_SEC, 2),
+                "value": round(dense_bps, 2),
+                "unit": "bags/sec/chip (10240x1024 bags, MHIM selfattn train "
+                f"step; ragged {round(ragged_bps, 1)} b/s, infer p50 "
+                f"{round(p50, 1)} ms — bench_detail.json)",
+                "vs_baseline": round(dense_bps / A100_BASELINE_BAGS_PER_SEC, 2),
             }
         )
     )

@@ -110,3 +110,59 @@ def test_mhim_mrh_schedule_and_mm_schedule():
     step = make_mhim_train_step(cfg, model, len(batches))
     _, m0 = step(state, batches[0])
     assert 0.0 < float(m0["mm"]) < 1.0
+
+
+def test_keep_slice_bound_no_token_loss():
+    """With both v1 masks active (mask_ratio=0.5, mask_ratio_l=0.2) the
+    random and low-attention selections overlap, so survivors exceed the old
+    (1-r)(1-r_l) product bound — the static keep slice must use the union
+    bound (guaranteed removal = max of stage sizes) so no merge-kept token is
+    ever dropped (reference keeps a dynamic-shape gather and cannot lose
+    tokens: modules/mhim.py:109-179).
+    """
+    from mhim_mil_tpu.ops.masked import compact, random_subset_mask
+    from mhim_mil_tpu.ops.masking import MaskSchedule, layered_mask
+
+    n = 100
+    sched = MaskSchedule(mask_ratio=0.5, mask_ratio_l=0.2)
+    merge_ratio = 0.4
+    hit_overflow_of_old_bound = False
+    for seed in range(20):
+        rng = jax.random.PRNGKey(seed)
+        attn = jax.random.normal(jax.random.fold_in(rng, 1), (2, n))
+        valid = jnp.ones((2, n), bool)
+        removed = layered_mask(jax.random.fold_in(rng, 2), attn, valid, sched)
+        visible = valid & ~removed
+        n_vis = jnp.sum(visible, axis=-1)
+
+        # the fixed union bound (mirrors MHIM.__call__)
+        guar = max(int(n * 0.5) - 1, int(n * 0.2) - 1)
+        v_static = n - guar
+        assert bool(jnp.all(n_vis <= v_static)), (n_vis, v_static)
+
+        # merge keep selection must fit the static slice with zero loss
+        k_keep = (n_vis.astype(jnp.float32) * merge_ratio).astype(jnp.int32)
+        keep_sel = random_subset_mask(jax.random.fold_in(rng, 3), visible, k_keep)
+        s_len = max(1, min(int(v_static * merge_ratio) + 1, v_static))
+        _, new_valid, _ = compact(
+            jnp.zeros((2, n, 4)), keep_sel, out_len=s_len
+        )
+        assert bool(jnp.all(jnp.sum(new_valid, -1) == jnp.sum(keep_sel, -1)))
+
+        # prove the scenario is real: the old product bound would truncate
+        old_s_len = max(1, int(n * 0.5 * 0.8 * merge_ratio))
+        if bool(jnp.any(jnp.sum(keep_sel, -1) > old_s_len)):
+            hit_overflow_of_old_bound = True
+    assert hit_overflow_of_old_bound, "test never exercised the overlap case"
+
+
+def test_mhim_student_sees_compacted_slice():
+    """The student's keep_num must equal the true survivor count: compaction
+    to the static v_static slice loses nothing."""
+    cfg, model, family, state, batches = _setup("mhim", "selfattn", mask_ratio_l=0.2)
+    step = make_mhim_train_step(cfg, model, len(batches))
+    for b in batches:
+        state, m = step(state, b)
+        assert np.isfinite(float(m["loss"]))
+        # keep_num = merged-in tokens + merge_k summaries, always > 0
+        assert float(m["keep_num"]) > 0

@@ -107,3 +107,52 @@ def test_transmil_garbage_invariance():
     np.testing.assert_allclose(
         np.asarray(out1["logits"]), np.asarray(out2["logits"]), atol=1e-4
     )
+
+
+def test_streamed_matches_materializing():
+    """The flash-style streamed Nystrom (ops/nystrom.py) is exactly the same
+    math as the materializing masked op — outputs and cls attention must
+    match to fp32 roundoff on ragged bags, for several chunk geometries
+    (divisor, non-divisor, single-window)."""
+    from mhim_mil_tpu.ops.nystrom import (
+        nystrom_attention,
+        nystrom_attention_streamed,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, N, DH, M = 2, 4, 515, 16, 32
+    q = jnp.asarray(rng.normal(size=(B, N, H, DH)), jnp.float32) * DH ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, N, H, DH)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, DH)), jnp.float32)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([515, 200])[:, None])
+
+    qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    ref_out, ref_attn = nystrom_attention(qh, kh, vh, mask, M, return_attn=True)
+    ref_out = ref_out.transpose(0, 2, 1, 3).reshape(B, N, H * DH)
+
+    for chunk in (128, 100, 515, 600):
+        out, attn = nystrom_attention_streamed(
+            q, k, v, mask, M, return_attn=True, chunk=chunk
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=2e-6, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
+                                   atol=1e-7, err_msg=f"chunk={chunk}")
+    out, attn = nystrom_attention_streamed(q, k, v, mask, M, chunk=128)
+    assert attn is None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-6)
+
+    # garbage invariance: scribbling on padded positions changes nothing
+    q2 = q.at[1, 200:].set(99.0)
+    k2 = k.at[1, 200:].set(-7.0)
+    v2 = v.at[1, 200:].set(3.0)
+    out2, attn2 = nystrom_attention_streamed(
+        q2, k2, v2, mask, M, return_attn=True, chunk=128
+    )
+    out1, attn1 = nystrom_attention_streamed(
+        q, k, v, mask, M, return_attn=True, chunk=128
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(
+        np.asarray(attn1 * mask[:, None, :]), np.asarray(attn2 * mask[:, None, :])
+    )
