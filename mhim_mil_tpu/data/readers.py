@@ -115,23 +115,36 @@ def build_cls_slides(
 def build_surv_slides(
     store: FeatureBagStore,
     df,
+    with_pos: bool = False,
 ) -> List[Dict]:
     """Survival slides: patient-level concat of all matching bags
     (reference FeatSurvDataset dataset_feat.py:113-260); carries the hazard
-    bin (Label), censorship (1 - Status) and the raw event time."""
+    bin (Label), censorship (1 - Status) and the raw event time.
+
+    ``with_pos`` merges the per-slide h5 grid coordinates across the
+    patient's slides by plain concatenation, mirroring the reference's
+    multi-h5 merge (dataset_feat.py:211-233 cats the per-slide coords; the
+    slides therefore share a grid origin — reference behavior, kept) so
+    2D-Mamba survival runs see real grids instead of a row-major pseudo-grid.
+    """
     slides = []
     for _, row in df.iterrows():
         files = match_slides(str(row["ID"]), store.files)
         if not files:
             continue
         feats = np.concatenate([store.load(f) for f in files], axis=0)
-        slides.append(
-            {
-                "feats": feats,
-                "target": int(row["Label"]),
-                "censorship": int(1 - int(row["Status"])),
-                "event": float(row["Event"]),
-                "slide": files[0],
-            }
-        )
+        s = {
+            "feats": feats,
+            "target": int(row["Label"]),
+            "censorship": int(1 - int(row["Status"])),
+            "event": float(row["Event"]),
+            "slide": files[0],
+        }
+        if with_pos:
+            per_slide = [store.coords(f) for f in files]
+            if all(p is not None for p in per_slide):
+                pos = np.concatenate(per_slide, axis=0)
+                if len(pos) == len(feats):
+                    s["pos"] = pos
+        slides.append(s)
     return slides

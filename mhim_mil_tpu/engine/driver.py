@@ -76,12 +76,17 @@ def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
         cfg.dataset_root, h5_root=cfg.h5_path, persistence=cfg.persistence
     )
 
+    # Grid coordinates are needed by 2D-Mamba's rasterization and the sincos
+    # positional option (reference loads `pos` whenever the model consumes it:
+    # dataset_feat.py:72-78 cls, :211-233 surv multi-h5 merge).
+    with_pos = cfg.pos == "sincos" or cfg.model == "2dmamba"
+
     def to_slides(sub):
         if surv:
-            return build_surv_slides(store, sub)
+            return build_surv_slides(store, sub, with_pos=with_pos)
         return build_cls_slides(
             store, sub["ID"].tolist(), sub["Label"].tolist(), cfg.datasets,
-            with_pos=cfg.pos == "sincos",
+            with_pos=with_pos,
         )
 
     if "Split" in df.columns and not cfg.random_fold:

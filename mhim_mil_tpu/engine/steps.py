@@ -58,18 +58,23 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1)}
         # CLAM computes its instance loss from the bag label during training
         # (reference engines/common_mil.py:38-40 passes label into the model);
-        # the 2D-Mamba grid needs the patch coordinates.
+        # the 2D-Mamba grid needs the patch coordinates; sincos-positional
+        # models consume the same batched h5 grid coords (reference
+        # abmil.py:214-215 receives `pos` from the loader batch).
         args = (batch["feats"], batch["mask"])
+        kw = {}
         if family == "clam":
             args = args + (batch["target"],)
         elif family == "mamba2d" and "pos" in batch:
             args = args + (batch["pos"],)
+        elif getattr(model, "pos", None) == "sincos" and "pos" in batch:
+            kw["coords"] = batch["pos"]
         if mutable:
             out, new_model_state = model.apply(
-                variables, *args, training=True, rngs=rngs, mutable=mutable,
+                variables, *args, training=True, rngs=rngs, mutable=mutable, **kw,
             )
         else:
-            out = model.apply(variables, *args, training=True, rngs=rngs)
+            out = model.apply(variables, *args, training=True, rngs=rngs, **kw)
             new_model_state = model_state
         logits = out["logits"]
         main = criterion(logits, batch)
@@ -137,9 +142,12 @@ def make_eval_step(cfg, model, family: str, params_field: str = "params"):
         params, batch = cast_compute(cfg, params, batch)
         variables = {"params": params, **state.model_state}
         args = (batch["feats"], batch["mask"])
+        kw = {}
         if family == "mamba2d" and "pos" in batch:
             args = args + (batch["pos"],)
-        out = model.apply(variables, *args, training=False)
+        elif getattr(model, "pos", None) == "sincos" and "pos" in batch:
+            kw["coords"] = batch["pos"]
+        out = model.apply(variables, *args, training=False, **kw)
         res = {"logits": out["logits"].astype(jnp.float32)}
         if "inst_logits_bag" in out:
             res["sub_logits"] = out["inst_logits_bag"].astype(jnp.float32)

@@ -11,6 +11,7 @@ from typing import Optional
 from flax import linen as nn
 
 from .layers import FeatureEmbed, TanhAttentionPool, GatedAttentionPool, dense
+from .positional import SINCOS
 
 
 class ABMIL(nn.Module):
@@ -32,15 +33,25 @@ class ABMIL(nn.Module):
     embed_norm_pos: int = 0
     mil_bias: bool = True
     gated: bool = False
+    pos: Optional[str] = None  # None | 'none' | 'sincos' (reference abmil.py:159)
 
     @nn.compact
-    def __call__(self, feats, mask, *, training: bool = False, return_attn: bool = False):
+    def __call__(
+        self, feats, mask, *, training: bool = False, return_attn: bool = False,
+        coords=None,
+    ):
+        assert self.pos in ("sincos", "none", None), self.pos
         x = feats
         if self.mil_norm == "ln" and self.embed_norm_pos == 0:
             x = nn.LayerNorm(use_bias=self.mil_bias)(x)
         x = FeatureEmbed(
             self.inner_dim, self.act, 0.25 if self.dropout else 0.0, self.mil_bias
         )(x, training=training)
+        # 2D sin-cos positional embedding from h5 grid coords, applied after
+        # the feature embed and before the embed_norm_pos=1 norm (reference
+        # abmil.py:214-224; grid fallback when no coords are batched).
+        if self.pos == "sincos":
+            x = SINCOS(self.inner_dim)(x, mask, coords)
         if self.mil_norm == "ln" and self.embed_norm_pos == 1:
             x = nn.LayerNorm(use_bias=self.mil_bias)(x)
 

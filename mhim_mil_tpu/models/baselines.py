@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import TanhAttentionPool, GatedAttentionPool
-from .positional import PPEG
+from .positional import PEG, PPEG, SINCOS
 from .transformer import TransLayer
 
 
@@ -71,8 +71,19 @@ class SAttentionBaseline(nn.Module):
         else:
             x = layer1(x, full_mask, training=training)
 
+        # Positional embedding between the two layers (pos_pos=0, reference
+        # baseline.py:234-241,264-266): ppeg | sincos | peg | none. SINCOS
+        # uses the row-major square-grid fallback — the reference SAttention
+        # forward receives no coords either (baseline.py:244).
         if self.pos == "ppeg":
             body = PPEG(self.dim, k=self.peg_k, name="pos_embedding")(x[:, 1:], mask)
+        elif self.pos == "sincos":
+            body = SINCOS(self.dim, name="pos_embedding")(x[:, 1:], mask)
+        elif self.pos == "peg":
+            body = PEG(self.dim, k=self.peg_k, name="pos_embedding")(x[:, 1:], mask)
+        else:
+            body = None
+        if body is not None:
             x = jnp.concatenate([x[:, :1], body], axis=1)
 
         layer2 = TransLayer(self.dim, self.heads, use_flash=self.use_flash, name="layer2")

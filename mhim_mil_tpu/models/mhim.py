@@ -79,6 +79,11 @@ class MHIM(nn.Module):
     merge_ratio: float = 0.2
     merge_test: bool = False
     use_flash: bool = False
+    # positional embedding of the selfattn baseline; the reference hardcodes
+    # 'ppeg' when MHIM builds SAttention (mhim.py:87-88) — exposing --pos
+    # here is a documented extension (SAttention itself supports all modes,
+    # mhim_modules/baseline.py:234-241).
+    pos: str = "ppeg"
 
     def setup(self):
         self.feature = FeatureEmbed(
@@ -86,7 +91,7 @@ class MHIM(nn.Module):
         )
         if self.baseline == "selfattn":
             self.online_encoder = SAttentionBaseline(
-                self.mlp_dim, self.heads, use_flash=self.use_flash
+                self.mlp_dim, self.heads, pos=self.pos, use_flash=self.use_flash
             )
         elif self.baseline == "attn":
             self.online_encoder = DAttentionBaseline(self.mlp_dim, self.da_act)

@@ -46,6 +46,7 @@ def _abmil(cfg):
             mil_norm=None if cfg.mil_norm in (None, "none") else cfg.mil_norm,
             mil_bias=cfg.mil_bias,
             gated=False,
+            pos=cfg.pos,
         ),
         "default",
     )
@@ -64,6 +65,7 @@ def _gabmil(cfg):
             act=cfg.act,
             mil_bias=cfg.mil_bias,
             gated=True,
+            pos=cfg.pos,
         ),
         "default",
     )
@@ -143,6 +145,7 @@ def _mhim_common(cfg, pure: bool):
         merge_ratio=cfg.merge_ratio,
         merge_test=cfg.merge_test,
         use_flash=cfg.use_flash_attn,
+        pos=cfg.pos if cfg.pos else "ppeg",
     )
 
 

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ..ops.nystrom import nystrom_attention
 from .layers import FeatureEmbed, dense, xavier_normal
-from .positional import PPEG
+from .positional import PEG, PPEG, SINCOS
 
 
 class _DepthwiseResConv(nn.Module):
@@ -86,9 +86,10 @@ class NystromMSA(nn.Module):
 
         qkv = dense(inner * 3, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (
-            t.reshape(b, n, h, dh).transpose(0, 2, 1, 3) for t in (q, k, v)
-        )
+        # Sequence-major [B,N,H,dh]: a free reshape of the qkv output. The
+        # head-major transpose (a full HBM round-trip per tensor) happens
+        # only on the short-bag materializing path below.
+        q, k, v = (t.reshape(b, n, h, dh) for t in (q, k, v))
         q = q * dh ** -0.5
 
         # Long bags stream flash-style (identical math, ~6x less HBM traffic,
@@ -107,11 +108,13 @@ class NystromMSA(nn.Module):
         if flash_ok:
             from ..ops.pallas_nystrom import flash_nystrom_infer
 
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             out, attn = flash_nystrom_infer(
-                q, k, v, mask,
+                qh, kh, vh, mask,
                 num_landmarks=self.num_landmarks,
                 pinv_iters=self.pinv_iterations,
             )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
             if not return_attn:
                 attn = None
         elif stream_ok:
@@ -125,12 +128,13 @@ class NystromMSA(nn.Module):
                 num_landmarks=self.num_landmarks,
                 pinv_iters=self.pinv_iterations,
                 return_attn=return_attn,
-            )
+            )  # out already [B,N,inner]
         else:
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             out, attn = nystrom_attention(
-                q,
-                k,
-                v,
+                qh,
+                kh,
+                vh,
                 mask,
                 num_landmarks=self.num_landmarks,
                 pinv_iters=self.pinv_iterations,
@@ -138,13 +142,11 @@ class NystromMSA(nn.Module):
                 no_norm=no_norm,
                 parity=self.parity,
             )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
 
         to_out = dense(self.dim, name="to_out")
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         if self.residual:
-            v_seq = jnp.where(
-                mask[..., None], v.transpose(0, 2, 1, 3).reshape(b, n, inner), 0
-            )
+            v_seq = jnp.where(mask[..., None, None], v, 0).reshape(b, n, inner)
             out = out + _DepthwiseResConv(
                 h, dh, self.residual_conv_kernel, name="res_conv"
             )(v_seq)
@@ -158,9 +160,9 @@ class NystromMSA(nn.Module):
             # of the instance tokens (index 1:) through this layer's to_out —
             # the "features" of reference scoring.py:22-27 (token 0 is cls;
             # the reference's front padding puts them at -n+1:).
-            v_inst = v[:, :, 1:]  # [B,H,N-1,dh]
-            scored = (v_inst * attn[:, :, 1:, None]).transpose(0, 2, 1, 3)
-            scored = to_out(scored.reshape(b, n - 1, inner))  # [B,N-1,dim]
+            v_inst = v[:, 1:]  # [B,N-1,H,dh] sequence-major
+            a_inst = attn[:, :, 1:].transpose(0, 2, 1)[..., None]  # [B,N-1,H,1]
+            scored = to_out((v_inst * a_inst.astype(v_inst.dtype)).reshape(b, n - 1, inner))
             return out, attn, v_inst, scored
         return out
 
@@ -249,10 +251,23 @@ class TransMIL(nn.Module):
         else:
             x = layer1(x, full_mask, training=training)
 
+        # ppeg | sincos | peg | none between the layers. The reference
+        # TransMIL hardcodes PPEG (transmil.py:50-64); sincos/peg extend the
+        # --pos option uniformly across the transformer stack and consume the
+        # batched h5 grid coords when present.
         if self.pos == "ppeg":
             body = PPEG(self.inner_dim, use_bias=self.mil_bias, name="pos_layer")(
                 x[:, 1:], mask
             )
+        elif self.pos == "sincos":
+            body = SINCOS(self.inner_dim, name="pos_layer")(x[:, 1:], mask, coords)
+        elif self.pos == "peg":
+            body = PEG(self.inner_dim, use_bias=self.mil_bias, name="pos_layer")(
+                x[:, 1:], mask
+            )
+        else:
+            body = None
+        if body is not None:
             x = jnp.concatenate([x[:, :1], body], axis=1)
 
         layer2 = TransLayer(self.inner_dim, self.n_heads, self.parity, self.use_flash, name="layer2")

@@ -110,13 +110,31 @@ def topk_mask(
 
     ``k`` may be a traced per-batch integer (shape broadcastable to the
     leading axes of ``scores``): this replaces ``torch.topk`` with a
-    statically-shaped rank-and-threshold so the instance count can depend on
+    statically-shaped threshold test so the instance count can depend on
     runtime bag sizes and cosine mask-ratio schedules without recompilation.
+
+    Implementation: one value-sort finds the k-th score; positions strictly
+    beyond it are in, and ties at the threshold are admitted in ascending
+    index order via a cumulative count — the same deterministic tie-break as
+    a stable rank, at roughly half the cost of the argsort-of-argsort ranking
+    (sorts dominate the MHIM mining stage on TPU).
     """
-    ranks = rank_by_score(scores, valid, descending=largest)
+    s = jnp.asarray(scores, jnp.float32)
+    # key-space: best = smallest; invalid always sorts last (ascending).
+    key = jnp.where(valid, -s if largest else s, -NEG_INF)
+    skey = jnp.sort(key, axis=-1)  # ascending: best first
     k = jnp.asarray(k)
-    sel = ranks < k[..., None] if k.ndim < ranks.ndim else ranks < k
-    return sel & valid
+    if k.ndim < key.ndim - 1:
+        k = k[..., None] if k.ndim else jnp.broadcast_to(k, key.shape[:-1])
+    k = jnp.broadcast_to(k, key.shape[:-1])
+    idx = jnp.clip(k - 1, 0, key.shape[-1] - 1)
+    thr = jnp.take_along_axis(skey, idx[..., None], axis=-1)  # [..., 1]
+    below = (key < thr) & valid
+    ties = (key == thr) & valid
+    n_below = jnp.sum(below, axis=-1, keepdims=True)
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=-1)  # 1-based
+    sel = below | (ties & (tie_rank <= (k[..., None] - n_below)))
+    return sel & (k[..., None] > 0)
 
 
 def random_subset_mask(rng: jax.Array, pool: jax.Array, k: jax.Array) -> jax.Array:

@@ -355,3 +355,29 @@ def test_nll_surv_parity(ref_modules):
         nll_surv_loss(jnp.asarray(logits), jnp.asarray(y), jnp.asarray(c), alpha=0.0)
     )
     assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+
+
+def test_sincos_embedding_parity(ref_modules):
+    """Our coord-direct 2D sin-cos embedding equals the reference's
+    table-build-and-gather (reference modules/emb_position.py:5-83:
+    table[y*pw+x] with layout [sin(x),cos(x),sin(y),cos(y)])."""
+    torch = ref_modules
+    from modules.emb_position import SINCOS as RefSINCOS
+
+    from mhim_mil_tpu.models.positional import sincos_2d
+
+    rng = np.random.default_rng(0)
+    pw, ph, n, dim = 13, 9, 40, 64
+    coords = np.stack(
+        [rng.integers(0, pw, n), rng.integers(0, ph, n)], axis=-1
+    )
+
+    ref = RefSINCOS()
+    x = torch.zeros(1, n, dim)
+    pos = torch.tensor(
+        np.concatenate([np.array([[pw, ph]]), coords], axis=0), dtype=torch.long
+    )
+    ref_out = ref(x.clone(), pos=pos.unsqueeze(0)).detach().numpy()[0]
+
+    ours = np.asarray(sincos_2d(jnp.asarray(coords), dim))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
