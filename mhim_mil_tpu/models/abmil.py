@@ -43,7 +43,7 @@ class ABMIL(nn.Module):
         assert self.pos in ("sincos", "none", None), self.pos
         x = feats
         if self.mil_norm == "ln" and self.embed_norm_pos == 0:
-            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(x)
         x = FeatureEmbed(
             self.inner_dim, self.act, 0.25 if self.dropout else 0.0, self.mil_bias
         )(x, training=training)
@@ -53,7 +53,7 @@ class ABMIL(nn.Module):
         if self.pos == "sincos":
             x = SINCOS(self.inner_dim)(x, mask, coords)
         if self.mil_norm == "ln" and self.embed_norm_pos == 1:
-            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(x)
 
         pool_cls = GatedAttentionPool if self.gated else TanhAttentionPool
         attn_dim = 384 if self.gated else self.attn_dim  # reference abmil.py:55
@@ -62,7 +62,7 @@ class ABMIL(nn.Module):
         )
         pooled = pooled[:, 0]  # K=1
         if self.mil_norm == "ln":
-            pooled = nn.LayerNorm(use_bias=self.mil_bias)(pooled)
+            pooled = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(pooled)
         logits = dense(self.n_classes, name="classifier")(pooled)
 
         out = {"logits": logits, "bag_feat": pooled}

@@ -95,7 +95,7 @@ class SAttentionBaseline(nn.Module):
         else:
             x = layer2(x, full_mask, training=training)
 
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         out = {"cls_feat": x[:, 0]}
         if return_attn:
             out["attns"] = attns  # list of [B,H,N]

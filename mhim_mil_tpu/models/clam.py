@@ -152,7 +152,7 @@ class CLAM(nn.Module):
     ):
         x = feats
         if self.mil_norm == "ln":
-            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(x)
         x = dense(self.inner_dim, self.mil_bias, name="fc")(x)
         x = get_act(self.act)(x)
         if self.dropout > 0:

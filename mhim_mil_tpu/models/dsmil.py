@@ -130,7 +130,7 @@ class DSMIL(nn.Module):
     def __call__(self, feats, mask, *, training: bool = False, return_attn: bool = False):
         x = feats
         if self.mil_norm == "ln":
-            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(x)
         x = dense(self.inner_dim, self.mil_bias, name="feature")(x)
         x = get_act(self.act)(x)
         if self.dropout > 0:

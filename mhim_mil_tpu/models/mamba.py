@@ -219,7 +219,7 @@ class MambaMIL2D(nn.Module):
                 self.dim, self.d_state, mamba_2d=True, name=f"layer{i}"
             )(grid)
 
-        hseq = nn.LayerNorm(name="norm")(grid.reshape(b, h * w, self.dim))
+        hseq = nn.LayerNorm(epsilon=1e-5, name="norm")(grid.reshape(b, h * w, self.dim))
         mseq = gmask.reshape(b, h * w)
 
         a = jnp.tanh(dense(128, name="attn_0")(hseq))
@@ -259,7 +259,7 @@ class MambaMIL1D(nn.Module):
         for i in range(self.n_layers):
             x = ResidualMamba(self.dim, self.d_state, name=f"layer{i}")(x, mask=mask)
 
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         a = jnp.tanh(dense(128, name="attn_0")(x))
         a = dense(1, name="attn_1")(a)[..., 0]
         attn = masked_softmax(a, mask, axis=-1)

@@ -89,7 +89,7 @@ class Merge(nn.Module):
             lambda: self._vpt_init(self.make_rng("params") if self.has_rng("params")
                                    else jax.random.PRNGKey(0), (1, self.k, self.dim)),
         )
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         q = jnp.broadcast_to(g_q.value, (x.shape[0], self.k, self.dim))
         z = MCA(self.dim, self.heads, self.dim_head, self.dropout, name="attn")(
             norm(x), norm(q), kv_mask, training=training

@@ -195,7 +195,7 @@ class RRTLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, *, training: bool = False):
-        normed = nn.LayerNorm(name="norm")(x)
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.attn == "rmsa":
             z = RegionAttention(
                 self.dim, self.num_heads, self.region_num, self.epeg,
@@ -233,7 +233,7 @@ class RRTEncoder(nn.Module):
             self.dim, self.crmsa_heads, self.region_num, "crmsa",
             crmsa_k=self.crmsa_k, dropout=self.dropout, name="cr_msa",
         )(x, mask, training=training)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class RRTMIL(nn.Module):

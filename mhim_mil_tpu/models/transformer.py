@@ -186,7 +186,7 @@ class TransLayer(nn.Module):
             use_flash=self.use_flash,
             name="attn",
         )
-        normed = nn.LayerNorm(name="norm")(x)
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if need_attn:
             z, attn, v, scored = msa(
                 normed, mask, training=training, return_attn=True, no_norm=no_norm
@@ -230,7 +230,7 @@ class TransMIL(nn.Module):
         b = feats.shape[0]
         x = feats
         if self.mil_norm == "ln":
-            x = nn.LayerNorm(use_bias=self.mil_bias)(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(x)
         x = FeatureEmbed(
             self.inner_dim, self.act, 0.25 if self.dropout else 0.0, self.mil_bias
         )(x, training=training)
@@ -277,7 +277,7 @@ class TransMIL(nn.Module):
         else:
             x = layer2(x, full_mask, training=training)
 
-        x = nn.LayerNorm(name="norm")(x)[:, 0]
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)[:, 0]
         logits = dense(self.n_classes, self.mil_bias, name="classifier")(x)
 
         out = {"logits": logits, "bag_feat": x}

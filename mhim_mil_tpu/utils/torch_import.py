@@ -159,11 +159,57 @@ def import_mhim_attn(sd: Dict) -> Dict:
     }
 
 
+def import_mca(sd: Dict, prefix: str) -> Dict:
+    """Reference mhim_modules/merge.py:14-65 MCA → models/merge.py MCA."""
+    return {
+        "to_kv": linear(sd, f"{prefix}.to_kv"),
+        "to_q": linear(sd, f"{prefix}.to_q"),
+        "to_out": linear(sd, f"{prefix}.to_out.0"),
+    }
+
+
+def import_merge(sd: Dict, prefix: str = "merge"):
+    """Reference Merge (merge.py:68-203) → (params, buffers) for
+    models/merge.py Merge — ``global_q_mm`` lands in the flax ``buffers``
+    collection."""
+    params = {
+        "norm": layernorm(sd, f"{prefix}.norm"),
+        "attn": import_mca(sd, f"{prefix}.attn"),
+    }
+    buffers = {"global_q": _t(sd[f"{prefix}.global_q_mm"])}
+    return params, buffers
+
+
+def import_mhim_selfattn(sd: Dict) -> Dict:
+    """Reference MHIM(baseline='selfattn') → models/mhim.py MHIM params
+    (feature MLP + SAttention encoder + predictor; pass ``merge.*`` keys
+    through :func:`import_merge` separately when merge is enabled)."""
+    sd = strip_module_prefix(sd)
+    enc = {
+        "cls_token": _t(sd["online_encoder.cls_token"]),
+        "layer1": _translayer(sd, "online_encoder.layer1"),
+        "layer2": _translayer(sd, "online_encoder.layer2"),
+        "norm": layernorm(sd, "online_encoder.norm"),
+    }
+    if "online_encoder.pos_embedding.proj.weight" in sd:
+        enc["pos_embedding"] = {
+            "proj": conv2d(sd, "online_encoder.pos_embedding.proj"),
+            "proj1": conv2d(sd, "online_encoder.pos_embedding.proj1"),
+            "proj2": conv2d(sd, "online_encoder.pos_embedding.proj2"),
+        }
+    return {
+        "feature": {"proj": linear(sd, "feature.0")},
+        "online_encoder": enc,
+        "predictor": linear(sd, "predictor"),
+    }
+
+
 IMPORTERS = {
     "abmil": import_abmil,
     "transmil": import_transmil,
     "dsmil": import_dsmil,
     "mhim_attn": import_mhim_attn,
+    "mhim_selfattn": import_mhim_selfattn,
 }
 
 
