@@ -215,8 +215,34 @@ def load_config(argv: Optional[List[str]] = None, **overrides) -> Config:
     return finalize_config(cfg)
 
 
+# Flags that parse but are consumed by no code path, with the reason. A
+# reference user setting them gets a loud warning instead of silence
+# (several are equally dead in the reference — see each note).
+_NOOP_FLAGS = {
+    "attn_dropout": (0.0, "plumbed only into dead generic model params in the "
+                          "reference too (modules/utils.py:73); attention "
+                          "dropout is fixed at the reference's 0.1"),
+    "pool": ("cls_token", "only the reference's dead generic-params dict "
+                          "reads it (modules/utils.py:72)"),
+    "n_layers": (2, "the live zoo hardcodes 2 TransLayers like the reference; "
+                    "use --rrt_n_layers for RRT depth"),
+    "num_workers": (6, "host IO is synchronous + device-prefetched here; "
+                       "there is no worker pool"),
+    "mambamil_rate": (10, "consumed only by the reference's dead SRMamba path "
+                          "(options.py:154; build_mil never passes it)"),
+    "mamba_2d": (False, "select the 2D model with --model 2dmamba; this flag "
+                        "is dead in the reference as well"),
+}
+
+
 def finalize_config(cfg: Config) -> Config:
     """Derived fields (reference ``more_about_config`` options.py:284-342)."""
+    import warnings
+
+    for name, (default, why) in _NOOP_FLAGS.items():
+        if getattr(cfg, name) != default:
+            warnings.warn(f"--{name} has no effect: {why}")
+
     up = {}
     # MHIM ablation defaults (reference options.py:290-293): -1 ratios mean
     # "the flagship preset for this baseline".

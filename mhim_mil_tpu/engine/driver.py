@@ -118,14 +118,14 @@ def get_folds(cfg: Config) -> List[Tuple[List, List, List]]:
 
 def _iter_batches(
     cfg: Config, slides, shuffle: bool, seed: int, batch_size=None,
-    patch_shuffle: bool = False,
+    patch_shuffle: bool = False, bucket_sizes=None,
 ):
     surv = is_survival(cfg)
     extra = ("target", "censorship", "event") if surv else ("target",)
     it = batch_bags(
         slides,
         batch_size or cfg.batch_size,
-        cfg.bucket_sizes,
+        bucket_sizes or cfg.bucket_sizes,
         shuffle=shuffle,
         seed=seed,
         extra_keys=extra,
@@ -151,7 +151,11 @@ def device_eval_batches(cfg: Config, slides):
     identical every epoch, and host→device transfer is the epoch-loop
     bottleneck on remote-TPU links. Returns [(device_batch, host_labels)]."""
     out = []
-    for b in _iter_batches(cfg, slides, shuffle=False, seed=0):
+    # --eval_bucket pins every eval bag to one padded length (a single
+    # compiled eval shape; useful on remote TPUs where each new bucket pays a
+    # fresh compile).
+    buckets = (cfg.eval_bucket,) if cfg.eval_bucket else None
+    for b in _iter_batches(cfg, slides, shuffle=False, seed=0, bucket_sizes=buckets):
         jb = {k: jnp.asarray(v) for k, v in b.items()}
         out.append((jb, b))
     return out
@@ -261,9 +265,25 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
             # partial overlay: a mhim_pure teacher checkpoint lacks the Merge
             # params (reference modules/__init__.py:190-207 reconciles the
             # same way); the student is warm-started from the teacher too.
+            # Reference-ecosystem torch checkpoints (.pt/.pth) are converted
+            # through utils/torch_import so published teachers drop in.
             from ..utils.checkpoint import load_checkpoint, overlay_params
 
-            loaded = load_checkpoint(cfg.teacher_init)["params"]
+            if cfg.teacher_init.endswith((".pt", ".pth")):
+                from ..utils.torch_import import load_torch_mhim
+
+                loaded, t_buffers = load_torch_mhim(cfg.teacher_init, cfg.baseline)
+                loaded = jax.tree.map(jnp.asarray, loaded)
+                if t_buffers is not None and "buffers" in state.model_state:
+                    new_buf = overlay_params(
+                        state.model_state["buffers"],
+                        jax.tree.map(jnp.asarray, t_buffers),
+                    )
+                    state = state.replace(
+                        model_state={**state.model_state, "buffers": new_buf}
+                    )
+            else:
+                loaded = load_checkpoint(cfg.teacher_init)["params"]
             warm = overlay_params(state.params, loaded)
             state = state.replace(
                 params=warm, teacher_params=jax.tree.map(jnp.copy, warm)
@@ -395,6 +415,7 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             profiling = True
         t0 = time.time()
         n_steps = 0
+        loss_sum = None
         for jb in _prefetch_to_device(
             _iter_batches(
                 cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
@@ -403,8 +424,11 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             mesh, shard_instances,
         ):
             state, tm = train_step(state, jb)
+            # epoch-mean loss meter (reference base_engine.py:179-218); the
+            # sum accumulates lazily on device — one host fetch per epoch.
+            loss_sum = tm["loss"] if loss_sum is None else loss_sum + tm["loss"]
             n_steps += 1
-        train_loss = float(tm["loss"])
+        train_loss = float(loss_sum) / max(n_steps, 1)
         if profiling:
             jax.profiler.stop_trace()
             profiling = False

@@ -265,6 +265,8 @@ def _ibmil(cfg):
 
     from .ibmil import IBMIL
 
+    import os
+
     conf = None
     if cfg.confounder_path:
         paths = (
@@ -272,8 +274,21 @@ def _ibmil(cfg):
             if isinstance(cfg.confounder_path, list)
             else [cfg.confounder_path]
         )
+        # A directory selects the k-means prototype file by --confounder_k,
+        # mirroring the reference's path scheme (modules/__init__.py:130:
+        # <dir>/[fold/]train_bag_cls_agnostic_feats_proto_<k>.npy).
+        proto = f"train_bag_cls_agnostic_feats_proto_{cfg.confounder_k}.npy"
+        resolved = []
+        for p in paths:
+            if os.path.isdir(p):
+                cand = os.path.join(p, proto)
+                if not os.path.exists(cand):
+                    cand = os.path.join(p, "0", proto)
+                resolved.append(cand)
+            else:
+                resolved.append(p)
         conf = np.concatenate(
-            [np.load(p).reshape(-1, cfg.inner_dim) for p in paths], axis=0
+            [np.load(p).reshape(-1, cfg.inner_dim) for p in resolved], axis=0
         )
     return (
         IBMIL(

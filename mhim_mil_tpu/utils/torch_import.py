@@ -213,6 +213,41 @@ IMPORTERS = {
 }
 
 
+def load_torch_mhim(path: str, baseline: str):
+    """Load a reference-ecosystem MHIM ``.pt`` checkpoint (e.g. a pretrained
+    ``mhim_pure`` teacher) into flax param/buffer trees.
+
+    Mirrors the reference's teacher-init path (modules/__init__.py:176-214):
+    unwrap the ``{'model': state_dict, 'teacher': ..., 'epoch': ...}``
+    best-checkpoint format (reference main.py:348-353), reconcile the DDP
+    ``module.`` prefix, convert, and let the caller overlay partially
+    (``load_state_dict(strict=False)`` semantics).
+
+    Returns ``(params, buffers_or_None)``.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    sd = strip_module_prefix(sd)
+    if baseline == "attn":
+        params = import_mhim_attn(sd)
+    elif baseline == "selfattn":
+        params = import_mhim_selfattn(sd)
+    else:
+        raise NotImplementedError(
+            f"torch teacher import for baseline '{baseline}' — convert via "
+            "IMPORTERS or retrain with this framework's checkpoints"
+        )
+    buffers = None
+    if "merge.norm.weight" in sd:
+        mp, mb = import_merge(sd, "merge")
+        params["merge"] = mp
+        buffers = {"merge": mb}
+    return params, buffers
+
+
 def import_torch_state_dict(model_name: str, sd: Dict) -> Dict:
     if model_name not in IMPORTERS:
         raise NotImplementedError(

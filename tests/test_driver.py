@@ -213,3 +213,55 @@ def test_save_result_writes_predictions(tmp_path):
     assert p.exists()
     data = np.load(p)
     assert data["logits"].shape[0] == data["targets"].shape[0] > 0
+
+
+def test_teacher_init_from_reference_torch_ckpt(tmp_path):
+    """--teacher_init accepts a reference-ecosystem torch .pt checkpoint
+    (the {'model': state_dict, ...} best-ckpt format, reference
+    main.py:348-353 / modules/__init__.py:176-214): the teacher must start
+    from the converted weights, not from random init."""
+    import os
+    import sys
+    import types
+
+    import jax.numpy as jnp
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    for name in ("torchvision", "torchvision.models", "future", "future.builtins"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["future.builtins"].range = range
+    if "modules" not in sys.modules:
+        pkg = types.ModuleType("modules")
+        pkg.__path__ = ["/root/reference/modules"]
+        sys.modules["modules"] = pkg
+    if not os.path.isdir("/root/reference/modules"):
+        pytest.skip("reference not mounted")
+    import importlib
+
+    RefMHIM = importlib.import_module("modules.mhim").MHIM
+
+    torch.manual_seed(0)
+    ref = RefMHIM(
+        input_dim=32, mlp_dim=32, n_classes=2, dropout=0.25, act="relu",
+        baseline="attn", da_act="gelu", attn2score=True, merge_enable=False,
+    )
+    ckpt = tmp_path / "ref_teacher.pt"
+    torch.save({"model": ref.state_dict(), "epoch": 7}, ckpt)
+
+    cfg = _tiny_cfg(
+        model="mhim", baseline="attn", da_act="gelu", attn2score=True,
+        mask_ratio_h=0.1, merge_enable=True, merge_ratio=0.5, aux_alpha=0.5,
+        teacher_init=str(ckpt), output_path="",
+    )
+    res = run_experiment(cfg)
+    assert np.isfinite(res["summary"]["auc"]["mean"])
+
+    # the conversion really landed: spot-check the imported feature kernel
+    from mhim_mil_tpu.utils.torch_import import load_torch_mhim
+
+    params, buffers = load_torch_mhim(str(ckpt), "attn")
+    want = ref.state_dict()["feature.0.weight"].numpy().T
+    np.testing.assert_allclose(params["feature"]["proj"]["kernel"], want)
+    assert buffers is None
