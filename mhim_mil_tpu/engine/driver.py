@@ -146,17 +146,23 @@ def _iter_batches(
         yield b
 
 
-def device_eval_batches(cfg: Config, slides):
+def device_eval_batches(cfg: Config, slides, mesh=None, shard_instances=False):
     """Pre-stage a deterministic eval split on device once — eval batches are
     identical every epoch, and host→device transfer is the epoch-loop
-    bottleneck on remote-TPU links. Returns [(device_batch, host_labels)]."""
+    bottleneck on remote-TPU links. Under a mesh the batches are staged with
+    the same (dp × sp) sharding as training, so evaluation runs distributed
+    instead of falling back to one device. Returns
+    [(device_batch, host_labels)]."""
     out = []
     # --eval_bucket pins every eval bag to one padded length (a single
     # compiled eval shape; useful on remote TPUs where each new bucket pays a
     # fresh compile).
     buckets = (cfg.eval_bucket,) if cfg.eval_bucket else None
     for b in _iter_batches(cfg, slides, shuffle=False, seed=0, bucket_sizes=buckets):
-        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        if mesh is not None:
+            jb = shard_batch(mesh, b, shard_instances=shard_instances)
+        else:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
         out.append((jb, b))
     return out
 
@@ -352,13 +358,15 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         print(f"[fold {fold}] mesh: dp={mesh.shape['dp']} sp={mesh.shape['sp']}")
 
     # stage the deterministic eval splits on device once (transfer-bound
-    # epoch loops otherwise re-upload them every epoch); skip under a mesh —
-    # evaluate() uses single-device placement
-    if mesh is None:
-        val_slides = device_eval_batches(cfg, val_slides)
-        test_slides = device_eval_batches(
-            cfg, test_slides
-        ) if test_slides is not val_slides else val_slides
+    # epoch loops otherwise re-upload them every epoch); under a mesh they
+    # are staged sharded so evaluation runs distributed too
+    same_split = test_slides is val_slides
+    val_slides = device_eval_batches(cfg, val_slides, mesh, shard_instances)
+    test_slides = (
+        val_slides
+        if same_split
+        else device_eval_batches(cfg, test_slides, mesh, shard_instances)
+    )
 
     # evaluation-only mode (reference --script_mode test, options.py:189 +
     # main.py best-reload path :384-405)

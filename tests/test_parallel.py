@@ -90,3 +90,111 @@ def test_driver_with_mesh():
     import numpy as np
 
     assert np.isfinite(res["summary"]["auc"]["mean"])
+
+
+def test_mhim_sharded_training_matches_single_device():
+    """The FLAGSHIP under the mesh: teacher forward, attention-ranked mining
+    (top-k/argsort over the sp-sharded instance axis), merge compaction,
+    consistency loss and teacher EMA — one dp×sp-sharded fused step must
+    equal the unsharded step exactly (same replicated RNG -> same masks)."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.models.mhim import create_mhim_state, make_mhim_train_step
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+    cfg = load_config(
+        [], model="mhim", baseline="selfattn", input_dim=32, inner_dim=64,
+        n_heads=4, batch_size=8, num_epoch=2, lr=1e-3, lr_sche="const",
+        mask_ratio=0.5, mask_ratio_h=0.1, mask_ratio_hr=0.5,
+        merge_enable=True, merge_ratio=0.25, merge_k=2, aux_alpha=0.5,
+        attn2score=True, dropout=0.0, compute_dtype="float32",
+    )
+    model, _ = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b, n = 8, 64
+    batch_np = {
+        "feats": np.asarray(rng.normal(size=(b, n, 32)), np.float32),
+        "mask": np.asarray(np.arange(n)[None] < rng.integers(40, n + 1, (b, 1))),
+        "bag_valid": np.ones((b,), bool),
+        "target": np.asarray(rng.integers(0, 2, size=(b,)), np.int32),
+    }
+    sample = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    lr = make_lr_schedule(cfg, 4)
+    state0 = create_mhim_state(cfg, model, jax.random.PRNGKey(0), sample, lr)
+    step = make_mhim_train_step(cfg, model, steps_per_epoch=4)
+
+    s1, m_single = step(state0, sample)
+
+    mesh = make_mesh(dp=4, sp=2)
+    with mesh:
+        sharded = shard_batch(mesh, batch_np, shard_instances=True)
+        state_r = replicate_tree(mesh, state0)
+        s2, m_sharded = step(state_r, sharded)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_single["keep_num"]), float(m_sharded["keep_num"]), rtol=1e-6
+    )
+    # parameters after the update + teacher EMA agree too
+    l1 = jax.tree.leaves(s1.params)[0]
+    l2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-6)
+    t1 = jax.tree.leaves(s1.teacher_params)[0]
+    t2 = jax.tree.leaves(s2.teacher_params)[0]
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=2e-6)
+
+
+def test_mesh_eval_matches_single_device():
+    """device_eval_batches under a mesh: the distributed eval forward must
+    produce the same metric row as single-device staging."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.engine.driver import device_eval_batches, evaluate
+    from mhim_mil_tpu.engine.steps import make_eval_step
+    from mhim_mil_tpu.engine.train_state import create_train_state
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+    from mhim_mil_tpu.data import make_synthetic_dataset
+
+    cfg = load_config(
+        [], model="abmil", input_dim=32, inner_dim=32, batch_size=4,
+        num_epoch=1, lr=1e-3, lr_sche="const", bucket_sizes=(64,),
+        compute_dtype="float32", num_bootstrap=5,
+    )
+    slides = make_synthetic_dataset(n_slides=12, bag_size=64, feat_dim=32, seed=3)
+    model, family = build_model(cfg)
+    from mhim_mil_tpu.data import batch_bags
+
+    sample = next(iter(batch_bags(slides, 4, (64,))))
+    sample = {k: jnp.asarray(v) for k, v in sample.items()}
+    lr = make_lr_schedule(cfg, 1)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample, lr)
+    ev = make_eval_step(cfg, model, family)
+
+    row1 = evaluate(cfg, ev, state, device_eval_batches(cfg, slides), 0, False)
+    mesh = make_mesh(dp=4, sp=2)
+    with mesh:
+        staged = device_eval_batches(cfg, slides, mesh, shard_instances=True)
+        state_r = replicate_tree(mesh, state)
+        row2 = evaluate(cfg, ev, state_r, staged, 0, False)
+    np.testing.assert_allclose(row1["auc"], row2["auc"], atol=1e-6)
+    np.testing.assert_allclose(row1["acc"], row2["acc"], atol=1e-6)
+
+
+def test_driver_with_mesh_mhim():
+    """Full MHIM experiment (train + sharded eval) over the 8-device mesh."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.engine.driver import run_experiment
+
+    cfg = load_config(
+        [], model="mhim", baseline="attn", datasets="synth", input_dim=32,
+        inner_dim=32, synth_n_slides=16, synth_bag_size=64, bucket_sizes=(64,),
+        batch_size=4, cv_fold=2, num_epoch=2, max_epoch=2, lr=1e-3,
+        lr_sche="const", num_bootstrap=5, output_path="",
+        mask_ratio=0.5, mask_ratio_h=0.1, merge_enable=True, merge_ratio=0.5,
+        aux_alpha=0.5, attn2score=True, mesh_dp=4, mesh_sp=2,
+    )
+    res = run_experiment(cfg)
+    assert len(res["folds"]) == 2
+    assert np.isfinite(res["summary"]["auc"]["mean"])
