@@ -33,7 +33,8 @@ class ABMIL(nn.Module):
     embed_norm_pos: int = 0
     mil_bias: bool = True
     gated: bool = False
-    pos: Optional[str] = None  # None | 'none' | 'sincos' (reference abmil.py:159)
+    pos: Optional[str] = None
+    use_flash: bool = False  # fused Pallas pooling on no-grad TPU paths  # None | 'none' | 'sincos' (reference abmil.py:159)
 
     @nn.compact
     def __call__(
@@ -57,9 +58,9 @@ class ABMIL(nn.Module):
 
         pool_cls = GatedAttentionPool if self.gated else TanhAttentionPool
         attn_dim = 384 if self.gated else self.attn_dim  # reference abmil.py:55
-        pooled, attn = pool_cls(attn_dim=attn_dim, use_bias=self.mil_bias)(
-            x, mask, training=training
-        )
+        pooled, attn = pool_cls(
+            attn_dim=attn_dim, use_bias=self.mil_bias, use_flash=self.use_flash
+        )(x, mask, training=training)
         pooled = pooled[:, 0]  # K=1
         if self.mil_norm == "ln":
             pooled = nn.LayerNorm(epsilon=1e-5, use_bias=self.mil_bias)(pooled)

@@ -24,6 +24,7 @@ class DAttentionBaseline(nn.Module):
     dim: int = 512
     act: str = "gelu"
     gated: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -32,7 +33,8 @@ class DAttentionBaseline(nn.Module):
     ):
         pool_cls = GatedAttentionPool if self.gated else TanhAttentionPool
         pooled, attn = pool_cls(
-            attn_dim=128, act=self.act, use_bias=False, name="attention"
+            attn_dim=128, act=self.act, use_bias=False,
+            use_flash=self.use_flash, name="attention"
         )(x, mask, training=training, no_norm=no_norm)
         out = {"cls_feat": pooled[:, 0]}
         if return_attn:

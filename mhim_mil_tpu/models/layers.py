@@ -79,6 +79,7 @@ class TanhAttentionPool(nn.Module):
     act: str = "tanh"
     use_bias: bool = True
     dropout: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask, *, training: bool = False, no_norm: bool = False):
@@ -88,6 +89,26 @@ class TanhAttentionPool(nn.Module):
             a = nn.Dropout(self.dropout, deterministic=not training)(a)
         logits = dense(self.n_branches, self.use_bias, name="attn_c")(a)  # [B,N,K]
         logits = jnp.swapaxes(logits, -1, -2)  # [B,K,N]
+        # Fused Pallas pooling on no-grad paths (teacher / eval): one VMEM
+        # stream over the bag instead of ~5 XLA HBM passes (ops/pallas_abmil).
+        # Opt-in like flash-nystrom: Mosaic cannot compile over the axon
+        # tunnel; FORCE_INTERPRET lets model-level tests run it on CPU.
+        import jax as _jax
+
+        from ..ops import pallas_abmil as _pa
+
+        flash_ok = (
+            self.use_flash
+            and not training
+            and not no_norm
+            and self.n_branches == 1
+            and (_jax.default_backend() != "cpu" or _pa.FORCE_INTERPRET)
+        )
+        if flash_ok:
+            pooled, attn = _pa.fused_abmil_pool(
+                x, logits[:, 0], mask, interpret=_pa.FORCE_INTERPRET
+            )
+            return pooled[:, None].astype(x.dtype), attn[:, None, :].astype(x.dtype)
         attn = masked_softmax(logits, mask[:, None, :], axis=-1)
         pooled = jnp.einsum("bkn,bnd->bkd", attn, x)
         return pooled, (logits if no_norm else attn)
@@ -105,6 +126,7 @@ class GatedAttentionPool(nn.Module):
     act: str = "tanh"
     use_bias: bool = True
     dropout: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask, *, training: bool = False, no_norm: bool = False):
@@ -116,6 +138,26 @@ class GatedAttentionPool(nn.Module):
             b = nn.Dropout(self.dropout, deterministic=det)(b)
         logits = dense(self.n_branches, self.use_bias, name="attn_c")(a * b)
         logits = jnp.swapaxes(logits, -1, -2)  # [B,K,N]
+        # Fused Pallas pooling on no-grad paths (teacher / eval): one VMEM
+        # stream over the bag instead of ~5 XLA HBM passes (ops/pallas_abmil).
+        # Opt-in like flash-nystrom: Mosaic cannot compile over the axon
+        # tunnel; FORCE_INTERPRET lets model-level tests run it on CPU.
+        import jax as _jax
+
+        from ..ops import pallas_abmil as _pa
+
+        flash_ok = (
+            self.use_flash
+            and not training
+            and not no_norm
+            and self.n_branches == 1
+            and (_jax.default_backend() != "cpu" or _pa.FORCE_INTERPRET)
+        )
+        if flash_ok:
+            pooled, attn = _pa.fused_abmil_pool(
+                x, logits[:, 0], mask, interpret=_pa.FORCE_INTERPRET
+            )
+            return pooled[:, None].astype(x.dtype), attn[:, None, :].astype(x.dtype)
         attn = masked_softmax(logits, mask[:, None, :], axis=-1)
         pooled = jnp.einsum("bkn,bnd->bkd", attn, x)
         return pooled, (logits if no_norm else attn)

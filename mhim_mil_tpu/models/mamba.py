@@ -77,9 +77,10 @@ class MambaBlock(nn.Module):
     dt_min: float = 0.001
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
+    use_flash: bool = False  # fused Pallas 2D scan on no-grad TPU paths
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, *, training: bool = False):
         """x: ``[B, L, D]`` (1D) or ``[B, H, W, D]`` (2D grid).
         mask: ``[B, L]`` validity (1D only; the 2D grid scans pad tokens by
         design, as in the reference)."""
@@ -141,7 +142,25 @@ class MambaBlock(nn.Module):
         d_skip = self.param("D", nn.initializers.ones, (ed,))
 
         if two_d:
-            y = selective_scan_2d(xin, delta, a, b_ssm, c_ssm, d_skip)
+            # Fused Pallas 2D selective scan on no-grad paths (eval /
+            # teacher): Abar, Bx, u, h never touch HBM (ops/pallas_scan2d;
+            # same opt-in policy as flash-nystrom — Mosaic cannot compile
+            # over the axon tunnel; FORCE_INTERPRET drives CPU tests).
+            from ..ops import pallas_scan2d as _ps
+
+            flash_ok = (
+                self.use_flash
+                and not training
+                and ed % _ps.DEFAULT_ED_TILE == 0
+                and (jax.default_backend() != "cpu" or _ps.FORCE_INTERPRET)
+            )
+            if flash_ok:
+                y = _ps.pallas_selective_scan_2d(
+                    xin, delta, a_log, b_ssm, c_ssm, d_skip,
+                    interpret=_ps.FORCE_INTERPRET,
+                ).astype(xin.dtype)
+            else:
+                y = selective_scan_2d(xin, delta, a, b_ssm, c_ssm, d_skip)
         else:
             y = selective_scan_1d(xin, delta, a, b_ssm, c_ssm, d_skip, mask=mask)
 
@@ -155,13 +174,15 @@ class ResidualMamba(nn.Module):
     d_model: int = 128
     d_state: int = 16
     mamba_2d: bool = False
+    use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, *, training: bool = False):
         normed = RMSNorm(self.d_model, name="norm")(x)
         out = MambaBlock(
-            self.d_model, self.d_state, mamba_2d=self.mamba_2d, name="mixer"
-        )(normed, mask=mask)
+            self.d_model, self.d_state, mamba_2d=self.mamba_2d,
+            use_flash=self.use_flash, name="mixer"
+        )(normed, mask=mask, training=training)
         return out + x
 
 
@@ -180,6 +201,7 @@ class MambaMIL2D(nn.Module):
     pad_token_mode: str = "trainable"  # zero | trainable
     pos_emb_type: str = "none"  # none | linear
     pos_emb_dropout: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -216,8 +238,9 @@ class MambaMIL2D(nn.Module):
 
         for i in range(self.n_layers):
             grid = ResidualMamba(
-                self.dim, self.d_state, mamba_2d=True, name=f"layer{i}"
-            )(grid)
+                self.dim, self.d_state, mamba_2d=True,
+                use_flash=self.use_flash, name=f"layer{i}"
+            )(grid, training=training)
 
         hseq = nn.LayerNorm(epsilon=1e-5, name="norm")(grid.reshape(b, h * w, self.dim))
         mseq = gmask.reshape(b, h * w)

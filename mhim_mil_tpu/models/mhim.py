@@ -94,7 +94,9 @@ class MHIM(nn.Module):
                 self.mlp_dim, self.heads, pos=self.pos, use_flash=self.use_flash
             )
         elif self.baseline == "attn":
-            self.online_encoder = DAttentionBaseline(self.mlp_dim, self.da_act)
+            self.online_encoder = DAttentionBaseline(
+                self.mlp_dim, self.da_act, use_flash=self.use_flash
+            )
         elif self.baseline == "dsmil":
             self.online_encoder = DSMILHead(
                 self.mlp_dim, self.n_classes, cls_attn=self.attn2score

@@ -47,6 +47,7 @@ def _abmil(cfg):
             mil_bias=cfg.mil_bias,
             gated=False,
             pos=cfg.pos,
+            use_flash=cfg.use_flash_attn,
         ),
         "default",
     )
@@ -66,6 +67,7 @@ def _gabmil(cfg):
             mil_bias=cfg.mil_bias,
             gated=True,
             pos=cfg.pos,
+            use_flash=cfg.use_flash_attn,
         ),
         "default",
     )
@@ -197,6 +199,7 @@ def _2dmamba(cfg):
             pad_token_mode=cfg.mamba_2d_pad_token,
             pos_emb_type=cfg.mamba_2d_pos_emb_type or "none",
             pos_emb_dropout=cfg.pos_emb_dropout,
+            use_flash=cfg.use_flash_attn,
         ),
         "mamba2d",
     )

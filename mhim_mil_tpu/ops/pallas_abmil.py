@@ -33,6 +33,11 @@ from .masked import NEG_INF
 
 DEFAULT_TILE = 1024
 
+# Model-level tests flip this to exercise the kernel path on the CPU test
+# mesh (interpreter mode); on real backends it stays False and the kernel
+# compiles natively.
+FORCE_INTERPRET = False
+
 
 def _abmil_kernel(x_ref, logits_ref, mask_ref,  # inputs
                   out_ref, attnsum_ref,  # outputs

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_ED_TILE = 64
 
+# Model-level tests flip this to exercise the kernel path on the CPU test
+# mesh (interpreter mode); real backends compile natively.
+FORCE_INTERPRET = False
+
 
 def _hillis_steele(a: jax.Array, x: jax.Array, w: int):
     """Inclusive scan of ``h[c] = a[c]·h[c-1] + x[c]`` along axis 0 of

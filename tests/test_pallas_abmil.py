@@ -45,3 +45,25 @@ def test_fused_abmil_garbage_invariance():
     )
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+def test_fused_pool_selected_at_model_level():
+    """The kernel is actually wired: ABMIL(use_flash=True) takes the fused
+    path (interpreter mode on CPU) and matches the XLA path."""
+    import jax
+
+    from mhim_mil_tpu.models.abmil import ABMIL
+    import mhim_mil_tpu.ops.pallas_abmil as pa
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 70, 16)), jnp.float32)
+    mask = jnp.asarray(np.arange(70)[None] < np.array([70, 45])[:, None])
+    model = ABMIL(input_dim=16, inner_dim=32, dropout=0.0, use_flash=True)
+    v = model.init(jax.random.PRNGKey(0), x, mask)
+    ref = model.apply(v, x, mask)["logits"]
+    pa.FORCE_INTERPRET = True
+    try:
+        got = model.apply(v, x, mask)["logits"]
+    finally:
+        pa.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

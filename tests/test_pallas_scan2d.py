@@ -60,3 +60,26 @@ def test_pallas_scan2d_non_pow2_width():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_scan2d_kernel_selected_at_model_level():
+    """The kernel is actually wired: MambaMIL2D(use_flash=True) routes the 2D
+    scan through the Pallas kernel (interpreter mode on CPU) and matches the
+    XLA scan."""
+    import jax
+
+    from mhim_mil_tpu.models.mamba import MambaMIL2D
+    import mhim_mil_tpu.ops.pallas_scan2d as ps
+
+    rng = np.random.default_rng(1)
+    m = MambaMIL2D(input_dim=16, dim=32, max_w=8, max_h=8, use_flash=True)
+    x = jnp.asarray(rng.normal(size=(2, 20, 16)), jnp.float32)
+    mask = jnp.ones((2, 20), bool)
+    v = m.init(jax.random.PRNGKey(0), x, mask)
+    ref = m.apply(v, x, mask)["logits"]
+    ps.FORCE_INTERPRET = True
+    try:
+        got = m.apply(v, x, mask)["logits"]
+    finally:
+        ps.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
