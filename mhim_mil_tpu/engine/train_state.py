@@ -45,6 +45,13 @@ def make_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
         parts.append(
             optax.adamw(learning_rate=lr_schedule, weight_decay=cfg.weight_decay)
         )
+    elif cfg.opt == "sgd":
+        # extension (the reference factory stops at adam/adamw,
+        # train_utils.py:58-69); linear updates also give the accumulation
+        # tests an exact big-batch equivalence to pin down
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.sgd(learning_rate=lr_schedule))
     else:
         raise NotImplementedError(cfg.opt)
     tx = optax.chain(*parts)

@@ -137,3 +137,47 @@ def test_clip_grad_runs():
     step = make_train_step(cfg, model, family, len(batches))
     state, m = step(state, batches[0])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_gradient_accumulation_matches_big_batch_sgd():
+    """Exact equality: with a linear optimizer (SGD), two accumulated
+    micro-batches must produce the same parameters as one big batch — the
+    strong guarantee the Adam-noise caveat in the semantics test can't give
+    (reference accumulation: engines/base_engine.py:124-134)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.data import make_synthetic_dataset, batch_bags
+    from mhim_mil_tpu.engine.steps import make_train_step
+    from mhim_mil_tpu.engine.train_state import create_train_state
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+    slides = make_synthetic_dataset(n_slides=4, bag_size=64, feat_dim=32,
+                                    ragged=False, seed=0)
+
+    def run(batch_size, accum):
+        cfg = load_config(
+            [], model="abmil", input_dim=32, inner_dim=32, opt="sgd",
+            batch_size=batch_size, accumulation_steps=accum, num_epoch=1,
+            lr=1e-2, weight_decay=0.0, lr_sche="const", dropout=0.0,
+            compute_dtype="float32",
+        )
+        batches = [
+            {k: jnp.asarray(v) for k, v in b.items()}
+            for b in batch_bags(slides, batch_size, (64,))
+        ]
+        model, family = build_model(cfg)
+        lr = make_lr_schedule(cfg, len(batches))
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), batches[0], lr)
+        step = make_train_step(cfg, model, family, len(batches))
+        for b in batches:
+            state, _ = step(state, b)
+        return state.params
+
+    p_accum = run(batch_size=2, accum=2)  # two micro-batches, one update
+    p_big = run(batch_size=4, accum=1)  # one big batch, one update
+    for a, b in zip(jax.tree.leaves(p_accum), jax.tree.leaves(p_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
