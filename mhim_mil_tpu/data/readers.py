@@ -89,6 +89,14 @@ class FeatureBagStore:
         _, coords, attrs = load_h5_features(h5)
         return coords_to_grid(coords, attrs) if coords is not None else None
 
+    def pixel_coords(self, fname: str) -> Optional[np.ndarray]:
+        """Raw level-0 (x, y) pixel coordinates — for heatmap overlays."""
+        h5 = os.path.join(self.h5_dir, fname.replace(".pt", ".h5"))
+        if not os.path.exists(h5):
+            return None
+        _, coords, _ = load_h5_features(h5)
+        return coords
+
 
 def build_cls_slides(
     store: FeatureBagStore,

@@ -1,12 +1,20 @@
-"""Attention-heatmap export: per-slide instance attention → spatial grid.
+"""Attention-heatmap export: per-slide instance attention → spatial grid,
+blended pixel overlays and ROI sampling.
 
 The reference renders attention heatmaps through the vendored CLAM stack
 (reference: CLAM/create_heatmaps.py:35-437, CLAM/wsi_core/WholeSlideImage.py
-:487-677 ``visHeatmap``), which needs OpenSlide and the raw WSI. This
-framework's models emit per-instance attention directly (``return_attn``);
-this module rasterizes those scores onto the patch grid and exports
-``.npy``/``.csv`` artifacts that any viewer can overlay — the raw-pixel
-blending stays out of scope (features-only pipeline, SURVEY.md §7 step 9).
+:487-677 ``visHeatmap``, CLAM/wsi_core/wsi_utils.py:138 ``sample_rois``),
+which needs OpenSlide for pyramidal WSIs. This framework's models emit
+per-instance attention directly (``return_attn``); this module provides
+
+- :func:`attention_to_grid` / :func:`export_heatmap` — viewer-agnostic grid
+  artifacts (``.npy``/``.csv``);
+- :func:`render_heatmap_overlay` — the visHeatmap-style blended overlay for
+  plain raster images (percentile normalization, per-pixel accumulation over
+  possibly-overlapping patches, matplotlib colormap, alpha blend, optional
+  binarize threshold — same knobs, pyramidal decode excluded);
+- :func:`sample_rois` — CLAM's top-k / reverse-top-k / score-range ROI
+  sampling over (score, coord) pairs.
 """
 
 from __future__ import annotations
@@ -75,3 +83,114 @@ def export_heatmap(
         for (x, y), s in zip(np.asarray(coords), attn):
             f.write(f"{x},{y},{s}\n")
     return {"npy": npy, "csv": csv}
+
+
+def to_percentiles(scores: np.ndarray) -> np.ndarray:
+    """Average-rank percentile scores in [0, 100] (reference
+    wsi_utils.py:125-128 ``to_percentiles`` via scipy rankdata 'average')."""
+    scores = np.asarray(scores, np.float64).reshape(-1)
+    order = scores.argsort(kind="mergesort")
+    ranks = np.empty(len(scores), np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ties like rankdata(method='average')
+    uniq, inv = np.unique(scores, return_inverse=True)
+    sums = np.bincount(inv, weights=ranks)
+    cnts = np.bincount(inv)
+    ranks = (sums / cnts)[inv]
+    return ranks / len(scores) * 100.0
+
+
+def render_heatmap_overlay(
+    image: np.ndarray,
+    coords: np.ndarray,
+    scores: np.ndarray,
+    patch_size: int = 256,
+    alpha: float = 0.4,
+    cmap: str = "coolwarm",
+    binarize: bool = False,
+    thresh: float = 0.5,
+    blank_canvas: bool = False,
+    canvas_color=(220, 20, 50),
+) -> np.ndarray:
+    """Blend a color-mapped attention heatmap onto a raster image.
+
+    The visHeatmap recipe (reference WholeSlideImage.py:487-677) for plain
+    images: scores → percentiles/100; per-pixel score *accumulation* with an
+    overlap counter (overlapping patches average); optional binarize at
+    ``thresh``; matplotlib ``cmap``; ``alpha``-blend over the image (or a
+    flat canvas). ``coords`` are level-0 (x, y) pixel positions.
+
+    Returns the blended uint8 RGB image.
+    """
+    from matplotlib import colormaps
+
+    img_h, img_w = image.shape[:2]
+    scores = to_percentiles(scores) / 100.0
+    coords = np.asarray(coords, np.int64)
+
+    overlay = np.zeros((img_h, img_w), np.float64)
+    counter = np.zeros((img_h, img_w), np.uint16)
+    for (x, y), s in zip(coords, scores):
+        if binarize:
+            s = 1.0 if s >= thresh else 0.0
+        y1, x1 = min(y + patch_size, img_h), min(x + patch_size, img_w)
+        overlay[y:y1, x:x1] += s
+        counter[y:y1, x:x1] += 1
+    seen = counter > 0
+    overlay[seen] /= counter[seen]
+    if binarize:
+        seen &= overlay >= thresh
+
+    cm = colormaps[cmap]
+    colored = (cm(np.clip(overlay, 0, 1))[..., :3] * 255).astype(np.uint8)
+    base = (
+        np.full_like(image[..., :3], np.asarray(canvas_color, np.uint8))
+        if blank_canvas
+        else image[..., :3]
+    )
+    out = base.copy()
+    out[seen] = (
+        alpha * colored[seen].astype(np.float64)
+        + (1 - alpha) * base[seen].astype(np.float64)
+    ).astype(np.uint8)
+    return out
+
+
+def sample_rois(
+    scores: np.ndarray,
+    coords: np.ndarray,
+    k: int = 5,
+    mode: str = "range_sample",
+    seed: int = 1,
+    score_start: float = 0.45,
+    score_end: float = 0.55,
+    top_left=None,
+    bot_right=None,
+) -> Dict[str, np.ndarray]:
+    """ROI sampling over (score, coord) pairs (reference
+    wsi_utils.py:138-159): ``topk`` / ``reverse_topk`` by score, or
+    ``range_sample`` — uniform draw among patches whose percentile score
+    falls in [score_start, score_end]. Optional bounding-box screen."""
+    scores = np.asarray(scores, np.float64).reshape(-1)
+    coords = np.asarray(coords)
+    scores = to_percentiles(scores)
+    if top_left is not None and bot_right is not None:
+        keep = np.all(coords >= np.asarray(top_left), axis=1) & np.all(
+            coords <= np.asarray(bot_right), axis=1
+        )
+        scores, coords = scores[keep], coords[keep]
+
+    if mode == "range_sample":
+        lo, hi = score_start * 100.0, score_end * 100.0
+        pool = np.flatnonzero((scores >= lo) & (scores <= hi))
+        if len(pool) < 1:
+            return {"sampled_coords": coords[:0], "sampled_scores": scores[:0]}
+        rng = np.random.default_rng(seed)
+        ids = rng.choice(pool, min(k, len(pool)), replace=False)
+    elif mode == "topk":
+        ids = scores.argsort()[::-1][:k]
+    elif mode == "reverse_topk":
+        ids = scores.argsort()[:k]
+    else:
+        raise NotImplementedError(mode)
+    return {"sampled_coords": coords[ids], "sampled_scores": scores[ids]}

@@ -62,3 +62,74 @@ def test_export_attention_cli(tmp_path):
     assert "s0_attn.npy" in files and "s1_attn.csv" in files
     grid = np.load(tmp_path / "attn" / "s0_attn.npy")
     assert np.isfinite(grid[np.isfinite(grid)]).all()
+
+
+def test_heatmap_overlay_and_rois(tmp_path):
+    """Blended overlay + ROI sampling (reference visHeatmap /
+    sample_rois semantics for raster images)."""
+    import numpy as np
+
+    from mhim_mil_tpu.utils.heatmap import (
+        render_heatmap_overlay,
+        sample_rois,
+        to_percentiles,
+    )
+
+    rng = np.random.default_rng(0)
+    img = np.full((128, 128, 3), 230, np.uint8)
+    coords = np.array([[x, y] for y in range(0, 128, 32) for x in range(0, 128, 32)])
+    scores = rng.random(len(coords))
+
+    out = render_heatmap_overlay(img, coords, scores, patch_size=32, alpha=0.4)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # hottest and coldest patches get different colors
+    hi = coords[scores.argmax()]
+    lo = coords[scores.argmin()]
+    assert not np.array_equal(out[hi[1] + 5, hi[0] + 5], out[lo[1] + 5, lo[0] + 5])
+    # region outside any patch stays untouched... (full grid here, so instead
+    # check binarize hides sub-threshold patches)
+    out_bin = render_heatmap_overlay(
+        img, coords, scores, patch_size=32, binarize=True, thresh=0.9
+    )
+    np.testing.assert_array_equal(out_bin[lo[1] + 5, lo[0] + 5], img[0, 0])
+
+    # overlapping patches average their scores
+    ov = render_heatmap_overlay(
+        np.full((64, 64, 3), 100, np.uint8),
+        np.array([[0, 0], [16, 0]]),
+        np.array([0.0, 1.0]),
+        patch_size=32,
+        alpha=1.0,
+    )
+    assert not np.array_equal(ov[5, 20], ov[5, 5])  # overlap != pure-low zone
+
+    # ROI modes
+    top = sample_rois(scores, coords, k=3, mode="topk")
+    assert np.array_equal(
+        top["sampled_coords"][0], coords[scores.argmax()]
+    )
+    rev = sample_rois(scores, coords, k=3, mode="reverse_topk")
+    assert np.array_equal(rev["sampled_coords"][0], coords[scores.argmin()])
+    rs = sample_rois(scores, coords, k=4, mode="range_sample",
+                     score_start=0.2, score_end=0.8)
+    pct = to_percentiles(scores)[
+        [np.flatnonzero((coords == c).all(1))[0] for c in rs["sampled_coords"]]
+    ]
+    assert ((pct >= 20) & (pct <= 80)).all()
+
+
+def test_to_percentiles_matches_scipy_rankdata():
+    import numpy as np
+
+    from mhim_mil_tpu.utils.heatmap import to_percentiles
+
+    try:
+        from scipy.stats import rankdata
+    except ImportError:
+        import pytest
+
+        pytest.skip("scipy absent")
+    rng = np.random.default_rng(0)
+    s = np.round(rng.random(100), 1)  # plenty of ties
+    want = rankdata(s, "average") / len(s) * 100
+    np.testing.assert_allclose(to_percentiles(s), want)

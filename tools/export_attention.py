@@ -8,6 +8,10 @@ forward over every slide, and writes ``<out>/<slide>_attn.{npy,csv}`` grids
 
     python tools/export_attention.py --ckpt out/fold_0_model_best.ckpt \
         --model abmil --csv_path labels.csv --dataset_root store/ --out attn/
+
+With ``--image_dir`` (raster slide images) it additionally writes blended
+``<slide>_overlay.png`` heatmaps and a ``<slide>_rois.csv`` of sampled ROIs
+(reference CLAM/create_heatmaps.py:35-437 + wsi_utils.py:138 sample_rois).
 """
 
 from __future__ import annotations
@@ -32,6 +36,14 @@ def main():
     ap.add_argument("--datasets", default="c16")
     ap.add_argument("--input_dim", type=int, default=1024)
     ap.add_argument("--inner_dim", type=int, default=512)
+    ap.add_argument("--image_dir", default=None,
+                    help="raster slide images: also render blended overlays")
+    ap.add_argument("--patch_size", type=int, default=256)
+    ap.add_argument("--alpha", type=float, default=0.4)
+    ap.add_argument("--cmap", default="coolwarm")
+    ap.add_argument("--sample_rois", default=None,
+                    choices=[None, "topk", "reverse_topk", "range_sample"])
+    ap.add_argument("--roi_k", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -80,7 +92,42 @@ def main():
         if attn.ndim == 3:  # [B,H,N] multi-head -> mean over heads
             attn = attn.mean(axis=1)
         sid = os.path.splitext(s["slide"])[0]
-        export_heatmap(args.out, sid, attn[0][: feats.shape[1]], s.get("pos"))
+        scores = attn[0][: feats.shape[1]]
+        export_heatmap(args.out, sid, scores, s.get("pos"))
+        # blended overlay + ROI sampling when the raster image and level-0
+        # pixel coords are available
+        px_coords = store.pixel_coords(s["slide"])
+        if args.image_dir and px_coords is not None:
+            from PIL import Image
+
+            from mhim_mil_tpu.utils.heatmap import (
+                render_heatmap_overlay,
+                sample_rois,
+            )
+
+            for ext in (".png", ".jpg", ".jpeg", ".tif", ".tiff"):
+                ip = os.path.join(args.image_dir, sid + ext)
+                if os.path.exists(ip):
+                    img = np.asarray(Image.open(ip).convert("RGB"))
+                    over = render_heatmap_overlay(
+                        img, px_coords, scores, args.patch_size,
+                        alpha=args.alpha, cmap=args.cmap,
+                    )
+                    op = os.path.join(args.out, f"{sid}_overlay.png")
+                    Image.fromarray(over).save(op)
+                    print(f"  overlay -> {op}")
+                    break
+            if args.sample_rois:
+                rois = sample_rois(
+                    scores, px_coords, k=args.roi_k, mode=args.sample_rois
+                )
+                rp = os.path.join(args.out, f"{sid}_rois.csv")
+                with open(rp, "w") as f:
+                    f.write("x,y,score\n")
+                    for (x, y), sc in zip(
+                        rois["sampled_coords"], rois["sampled_scores"]
+                    ):
+                        f.write(f"{x},{y},{sc}\n")
         print(f"exported {sid}")
 
 
