@@ -133,7 +133,19 @@ def main() -> None:
 
     # 3. p50/p90 per-slide inference latency (batch=1 forward_test, jitted,
     #    including the host round-trip — what a deployed scorer would see).
+    #    The per-call sync floor of the link is measured alongside: over the
+    #    axon tunnel a trivial op costs ~30 ms/call round-trip, so nearly all
+    #    of the reported p50 is link latency, not compute (absent on
+    #    directly-attached TPUs).
     from mhim_mil_tpu.models.mhim import make_mhim_eval_step
+
+    triv = jax.jit(lambda x: x + 1)
+    tx = jnp.ones((4, 4))
+    float(jnp.sum(triv(tx)))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(jnp.sum(triv(tx)))
+    roundtrip_ms = (time.perf_counter() - t0) / 20 * 1000
 
     eval_step = make_mhim_eval_step(cfg, model)
     one = {
@@ -154,6 +166,8 @@ def main() -> None:
         "ragged_mean_len": int(lens.mean()),
         "infer_p50_ms": round(p50, 2),
         "infer_p90_ms": round(p90, 2),
+        "host_roundtrip_floor_ms": round(roundtrip_ms, 2),
+        "infer_p50_minus_link_ms": round(max(p50 - roundtrip_ms, 0.0), 2),
         "batch": BATCH,
         "bag_size": BAG_SIZE,
         "device": str(jax.devices()[0].device_kind),

@@ -52,6 +52,12 @@ class SAttentionBaseline(nn.Module):
     pos: str = "ppeg"
     peg_k: int = 7
     use_flash: bool = False
+    # Which layers must materialize cls attention under return_attn. The
+    # attn2score teacher consumes ONLY layer1's attention and scored values
+    # (reference mhim.py:215-219 passes attn[0]); skipping layer2's
+    # cls-attention pass saves a full streamed phase per teacher step.
+    # Raw-attention mining (attn2score off) and heatmap export keep (0, 1).
+    attn_layers: tuple = (0, 1)
 
     @nn.compact
     def __call__(
@@ -89,7 +95,7 @@ class SAttentionBaseline(nn.Module):
             x = jnp.concatenate([x[:, :1], body], axis=1)
 
         layer2 = TransLayer(self.dim, self.heads, use_flash=self.use_flash, name="layer2")
-        if return_attn:
+        if return_attn and 1 in self.attn_layers:
             x, a, *_ = layer2(
                 x, full_mask, training=training, need_attn=True, no_norm=no_norm
             )

@@ -90,8 +90,12 @@ class MHIM(nn.Module):
             self.mlp_dim, self.act, self.dropout, name="feature"
         )
         if self.baseline == "selfattn":
+            # attn2score mining consumes only layer1's attention + scored
+            # values — layer2 can skip its cls-attention pass entirely.
+            need = (0,) if (self.attn2score and self.attn_layer == 0) else (0, 1)
             self.online_encoder = SAttentionBaseline(
-                self.mlp_dim, self.heads, pos=self.pos, use_flash=self.use_flash
+                self.mlp_dim, self.heads, pos=self.pos,
+                use_flash=self.use_flash, attn_layers=need,
             )
         elif self.baseline == "attn":
             self.online_encoder = DAttentionBaseline(
