@@ -153,6 +153,138 @@ class ResNetTrunc(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # [B, C]
 
 
+class ViTEncoder(nn.Module):
+    """ViT feature encoder (timm ``vit_large_patch16_224`` family): patch
+    conv embed → cls token + learned pos embed → pre-norm blocks with
+    optional LayerScale (``init_values=1e-5`` is how the reference builds
+    UNI, CLAM/models/builder.py:86-90) → final LN → cls feature.
+
+    ``dynamic_img_size`` behavior: the 14×14 pos-embed grid is bilinearly
+    resized when the input resolution differs from 224.
+    """
+
+    embed_dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    mlp_ratio: float = 4.0
+    patch: int = 16
+    layer_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] normalized
+        b, ih, iw, _ = x.shape
+        d = self.embed_dim
+        x = nn.Conv(
+            d, (self.patch, self.patch), strides=(self.patch, self.patch),
+            padding="VALID", name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, d)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, d))
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, 197, d)
+        )
+        cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+        side = int(grid_pos.shape[1] ** 0.5)
+        if (gh, gw) != (side, side):
+            grid_pos = jax.image.resize(
+                grid_pos.reshape(1, side, side, d), (1, gh, gw, d), "bilinear"
+            ).reshape(1, gh * gw, d)
+        x = x + grid_pos
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls + cls_pos, (b, 1, d)), x], axis=1
+        )
+
+        for i in range(self.depth):
+            x = _ViTBlock(
+                d, self.heads, self.mlp_ratio, self.layer_scale,
+                name=f"block{i}",
+            )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[:, 0]
+
+
+class _ViTBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: float
+    layer_scale: bool
+
+    @nn.compact
+    def __call__(self, x):
+        d, h = self.dim, self.heads
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        qkv = nn.Dense(3 * d, name="qkv")(y)
+        q, k, v = jnp.split(qkv.reshape(*y.shape[:2], 3, h, d // h), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        a = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q * (d // h) ** -0.5, k), axis=-1
+        )
+        y = jnp.einsum("bhnm,bhmd->bnhd", a, v).reshape(*x.shape)
+        y = nn.Dense(d, name="attn_proj")(y)
+        if self.layer_scale:
+            y = y * self.param("ls1", nn.initializers.ones, (d,))
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.Dense(int(d * self.mlp_ratio), name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(d, name="fc2")(y)
+        if self.layer_scale:
+            y = y * self.param("ls2", nn.initializers.ones, (d,))
+        return x + y
+
+
+def import_vit(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm ViT state_dict (vit_large_patch16_224 naming) → ViTEncoder
+    params. LayerScale gammas (``ls{1,2}.gamma``) map when present."""
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _t(sd["cls_token"]),
+        "pos_embed": _t(sd["pos_embed"]),
+        "norm": {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])},
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        base = f"blocks.{i}"
+        blk = {
+            "norm1": {
+                "scale": _t(sd[f"{base}.norm1.weight"]),
+                "bias": _t(sd[f"{base}.norm1.bias"]),
+            },
+            "qkv": {
+                "kernel": _t(sd[f"{base}.attn.qkv.weight"]).T,
+                "bias": _t(sd[f"{base}.attn.qkv.bias"]),
+            },
+            "attn_proj": {
+                "kernel": _t(sd[f"{base}.attn.proj.weight"]).T,
+                "bias": _t(sd[f"{base}.attn.proj.bias"]),
+            },
+            "norm2": {
+                "scale": _t(sd[f"{base}.norm2.weight"]),
+                "bias": _t(sd[f"{base}.norm2.bias"]),
+            },
+            "fc1": {
+                "kernel": _t(sd[f"{base}.mlp.fc1.weight"]).T,
+                "bias": _t(sd[f"{base}.mlp.fc1.bias"]),
+            },
+            "fc2": {
+                "kernel": _t(sd[f"{base}.mlp.fc2.weight"]).T,
+                "bias": _t(sd[f"{base}.mlp.fc2.bias"]),
+            },
+        }
+        if f"{base}.ls1.gamma" in sd:
+            blk["ls1"] = _t(sd[f"{base}.ls1.gamma"])
+            blk["ls2"] = _t(sd[f"{base}.ls2.gamma"])
+        params[f"block{i}"] = blk
+        i += 1
+    return {"params": params}
+
+
 # ---- torch state-dict import --------------------------------------------------
 
 
@@ -264,12 +396,38 @@ def get_encoder(
         fn = jax.jit(partial(model.apply, variables))
         return fn, ENCODER_NORM[name]
 
-    if name in ("uni_v1", "conch_v1", "chief", "gigap", "sd_vae"):
+    if name == "uni_v1":
+        # ViT-L/16, layerscale 1e-5 (reference builder.py:86-91 asserts the
+        # checkpoint the same way: UNI weights must be downloaded).
+        if not ckpt_path:
+            raise NotImplementedError(
+                "encoder 'uni_v1' needs the UNI checkpoint: set UNI_CKPT_PATH "
+                "or pass ckpt_path (reference builder.py:30-43 'UNI is not "
+                "available')."
+            )
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        has_ls = any(k.endswith("ls1.gamma") for k in sd)
+        # infer geometry from the checkpoint (UNI = ViT-L/16: 1024/24/16);
+        # heads follow the timm convention head_dim = 64
+        dim = int(sd["pos_embed"].shape[-1])
+        depth = sum(1 for k in sd if k.endswith(".norm1.weight"))
+        model = ViTEncoder(
+            embed_dim=dim, depth=depth, heads=max(dim // 64, 1),
+            layer_scale=has_ls,
+        )
+        variables = jax.tree.map(jnp.asarray, import_vit(sd))
+        fn = jax.jit(partial(model.apply, variables))
+        return fn, ENCODER_NORM[name]
+
+    if name in ("conch_v1", "chief", "gigap", "sd_vae"):
         env = ENCODER_CKPT_ENV.get(name, "HF_TOKEN")
         raise NotImplementedError(
             f"encoder '{name}' needs an externally downloaded checkpoint "
             f"({env}) and its flax port is not bundled; use 'resnet50_trunc' "
-            "or consume the published CPathPatchFeature stores "
+            "/ 'uni_v1' or consume the published CPathPatchFeature stores "
             "(reference README:61-64)."
         )
     raise NotImplementedError(f"model {name} not implemented")

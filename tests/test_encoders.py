@@ -15,6 +15,7 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from mhim_mil_tpu.preprocess.encoders import (  # noqa: E402
@@ -168,3 +169,104 @@ def test_missing_foundation_encoders_raise():
         get_encoder("uni_v1")
     with pytest.raises(NotImplementedError, match="not implemented"):
         get_encoder("nope")
+
+
+class _TorchViTBlock(tnn.Module):
+    def __init__(self, d, heads, ls=True):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(d, eps=1e-6)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(d, 3 * d)
+        self.attn.proj = tnn.Linear(d, d)
+        self.norm2 = tnn.LayerNorm(d, eps=1e-6)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(d, 4 * d)
+        self.mlp.fc2 = tnn.Linear(4 * d, d)
+        if ls:
+            self.ls1 = tnn.Module()
+            self.ls1.gamma = tnn.Parameter(torch.full((d,), 1e-5))
+            self.ls2 = tnn.Module()
+            self.ls2.gamma = tnn.Parameter(torch.full((d,), 1e-5))
+        self.heads = heads
+        self.ls = ls
+
+    def forward(self, x):
+        B, N, d = x.shape
+        h = self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(B, N, 3, h, d // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax(q @ k.transpose(-1, -2) * (d // h) ** -0.5, dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(B, N, d)
+        y = self.attn.proj(y)
+        if self.ls:
+            y = y * self.ls1.gamma
+        x = x + y
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        if self.ls:
+            y = y * self.ls2.gamma
+        return x + y
+
+
+class _TorchViT(tnn.Module):
+    """Minimal timm-named ViT (patch embed + cls/pos + blocks + norm)."""
+
+    def __init__(self, d=64, depth=2, heads=4, patch=16, grid=14, ls=True):
+        super().__init__()
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, d, patch, patch)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.pos_embed = tnn.Parameter(torch.randn(1, 1 + grid * grid, d) * 0.02)
+        self.blocks = tnn.ModuleList(
+            [_TorchViTBlock(d, heads, ls) for _ in range(depth)]
+        )
+        self.norm = tnn.LayerNorm(d, eps=1e-6)
+        self.patch, self.grid = patch, grid
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)  # [B,N,d]
+        x = x + self.pos_embed[:, 1:]
+        cls = self.cls_token + self.pos_embed[:, :1]
+        x = torch.cat([cls.expand(B, -1, -1), x], dim=1)
+        for b in self.blocks:
+            x = b(x)
+        return self.norm(x)[:, 0]
+
+
+@pytest.mark.parametrize("ls", [True, False])
+def test_vit_encoder_golden(ls):
+    """uni_v1-style ViT: timm-named torch execution == flax import
+    (patch embed, cls/pos, pre-norm blocks, LayerScale, final LN)."""
+    from mhim_mil_tpu.preprocess.encoders import ViTEncoder, import_vit
+
+    torch.manual_seed(0)
+    tmodel = _TorchViT(d=64, depth=2, heads=4, ls=ls).eval()
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+
+    fmodel = ViTEncoder(embed_dim=64, depth=2, heads=4, layer_scale=ls)
+    variables = {
+        k: jax.tree.map(jnp.asarray, v)
+        for k, v in import_vit(tmodel.state_dict()).items()
+    }
+    out = fmodel.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    # fp32 op-order drift across 196-token attention + patch conv; the
+    # architectures are identical (exact at fp64)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=8e-4, rtol=1e-3)
+
+
+def test_uni_v1_registry(tmp_path):
+    torch.manual_seed(1)
+    # heads=1 so the registry's head_dim=64 inference matches (d=64)
+    tmodel = _TorchViT(d=64, depth=2, heads=1, ls=True).eval()
+    p = tmp_path / "uni.pt"
+    torch.save(tmodel.state_dict(), p)
+    fn, norm = get_encoder("uni_v1", ckpt_path=str(p))
+    assert norm == "imagenet"
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=8e-4, rtol=1e-3)
