@@ -114,3 +114,48 @@ def test_image_to_features_to_training(tmp_path):
         correct += int(((pred == tgt) & valid).sum())
         total += int(valid.sum())
     assert correct / total >= 5 / 6, f"train acc {correct}/{total}"
+
+
+def test_process_list_presets_and_stitch(tmp_path):
+    """CLAM-style per-slide CSV params + stitch overview (reference
+    create_patches_fp.py:96-130 CSV overrides, wsi_utils StitchCoords)."""
+    src = tmp_path / "imgs"
+    out = tmp_path / "store"
+    _make_images(str(src), n_per_class=2)
+
+    import csv
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import extract_features as cli
+
+    preset = tmp_path / "preset.csv"
+    with open(preset, "w", newline="") as f:
+        w = csv.DictWriter(f, ["coverage"])
+        w.writeheader()
+        w.writerow({"coverage": "0.4"})
+
+    plist = tmp_path / "plist.csv"
+    with open(plist, "w", newline="") as f:
+        w = csv.DictWriter(f, ["slide_id", "process", "patch_size", "step_size"])
+        w.writeheader()
+        w.writerow({"slide_id": "slide_c0_0", "process": "1",
+                    "patch_size": "64", "step_size": "64"})
+        w.writerow({"slide_id": "slide_c1_0", "process": "0"})
+        # slide_c0_1 / slide_c1_1 omitted -> filtered out
+
+    cli.main(
+        [
+            "--source", str(src), "--save_dir", str(out),
+            "--patch_size", "32", "--step_size", "32", "--batch_size", "16",
+            "--preset", str(preset), "--process_list", str(plist), "--stitch",
+        ]
+    )
+    done = sorted(os.listdir(out / "pt_files"))
+    assert done == ["slide_c0_0.pt"]  # others skipped/filtered
+    # the per-slide override took effect: 64px patches on a 128px image -> 4
+    import torch
+
+    feats = torch.load(out / "pt_files" / "slide_c0_0.pt", weights_only=True)
+    assert feats.shape[0] <= 4
+    assert os.path.exists(out / "stitches" / "slide_c0_0_stitch.jpg")

@@ -11,10 +11,16 @@ the published CPathPatchFeature stores (reference README:61-64).
 Usage:
   python tools/extract_features.py --source DIR_OF_IMAGES --save_dir OUT \
       --encoder resnet50_trunc [--ckpt_path w.pt] [--patch_size 256] \
-      [--step_size 256] [--batch_size 256] [--coverage 0.5]
+      [--step_size 256] [--batch_size 256] [--coverage 0.5] \
+      [--preset presets.csv] [--process_list list.csv] [--stitch]
 
 Produces OUT/pt_files/<id>.pt and OUT/h5_files/<id>.h5 (+coords/attrs) —
-exactly what data/readers.py consumes for training.
+exactly what data/readers.py consumes for training. ``--preset`` applies a
+CLAM-style parameter CSV as defaults; ``--process_list`` gives per-slide
+overrides and a ``process`` column to skip slides (reference
+create_patches_fp.py:48-286 CSV-driven per-slide params); ``--stitch``
+writes OUT/stitches/<id>_stitch.jpg showing the kept patch grid (reference
+StitchCoords, wsi_core/wsi_utils.py DrawMap).
 """
 
 from __future__ import annotations
@@ -41,24 +47,66 @@ from mhim_mil_tpu.preprocess.segment import (  # noqa: E402
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
 
 
-def process_slide(path, fn, norm, args):
+PARAM_COLS = ("sthresh", "coverage", "patch_size", "step_size")
+
+
+def _read_param_csv(path):
+    """CLAM-style parameter CSV → list of row dicts (plain csv module; the
+    reference uses pandas, create_patches_fp.py:96-130)."""
+    import csv
+
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def slide_params(args, overrides):
+    """Per-slide parameters: CLI defaults ← preset CSV ← process-list row."""
+    p = {k: getattr(args, k) for k in PARAM_COLS}
+    for src in overrides:
+        for k in PARAM_COLS:
+            if src and src.get(k) not in (None, ""):
+                p[k] = type(getattr(args, k))(float(src[k]))
+    return p
+
+
+def write_stitch(out_dir, sid, img, coords, patch_size, max_side=1024):
+    """Downscaled overview with the kept patch grid drawn (reference
+    StitchCoords/DrawMap, CLAM/wsi_core/wsi_utils.py:163-207)."""
     from PIL import Image
 
+    scale = max(1, int(np.ceil(max(img.shape[:2]) / max_side)))
+    canvas = np.ascontiguousarray(img[::scale, ::scale].copy())
+    ps = max(patch_size // scale, 1)
+    for x, y in coords // scale:
+        canvas[y : y + ps, x : x + 1] = 0
+        canvas[y : y + ps, min(x + ps, canvas.shape[1] - 1)] = 0
+        canvas[y : y + 1, x : x + ps] = 0
+        canvas[min(y + ps, canvas.shape[0] - 1), x : x + ps] = 0
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{sid}_stitch.jpg")
+    Image.fromarray(canvas).save(out)
+    return out
+
+
+def process_slide(path, fn, norm, args, params=None):
+    from PIL import Image
+
+    p = params or {k: getattr(args, k) for k in PARAM_COLS}
     img = np.asarray(Image.open(path).convert("RGB"))
     # Segment on a bounded thumbnail (reference segments at a low pyramid
     # level, WholeSlideImage.py:91-183).
     thumb_max = 2048
     scale = max(1, max(img.shape[:2]) // thumb_max)
     thumb = img[::scale, ::scale]
-    mask = segment_tissue(thumb, sthresh=args.sthresh)
+    mask = segment_tissue(thumb, sthresh=p["sthresh"])
     grid = generate_patch_coords(
-        mask, img.shape[:2], args.patch_size, args.step_size, args.coverage
+        mask, img.shape[:2], p["patch_size"], p["step_size"], p["coverage"]
     )
     coords = grid["coords"]
     if len(coords) == 0:
         return None, 0
     feats = extract_features(
-        fn, img, coords, args.patch_size, args.batch_size, norm
+        fn, img, coords, p["patch_size"], args.batch_size, norm
     )
     sid = os.path.splitext(os.path.basename(path))[0]
     save_feature_store(
@@ -67,11 +115,16 @@ def process_slide(path, fn, norm, args):
         feats,
         coords,
         attrs={
-            "patch_size": args.patch_size,
+            "patch_size": p["patch_size"],
             "downsample": grid["downsample"],
             "level_dim": np.asarray([img.shape[1], img.shape[0]]),
         },
     )
+    if args.stitch:
+        write_stitch(
+            os.path.join(args.save_dir, "stitches"), sid, img, coords,
+            p["patch_size"],
+        )
     return sid, len(coords)
 
 
@@ -86,7 +139,20 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--coverage", type=float, default=0.5)
     p.add_argument("--sthresh", type=int, default=0, help="0 = Otsu")
+    p.add_argument("--preset", default=None,
+                   help="CLAM-style parameter CSV applied as defaults")
+    p.add_argument("--process_list", default=None,
+                   help="per-slide CSV: slide_id[,process][,param overrides]")
+    p.add_argument("--stitch", action="store_true",
+                   help="write stitches/<id>_stitch.jpg patch-grid overviews")
     args = p.parse_args(argv)
+
+    preset = _read_param_csv(args.preset)[0] if args.preset else None
+    plist = (
+        {r["slide_id"]: r for r in _read_param_csv(args.process_list)}
+        if args.process_list
+        else None
+    )
 
     fn, norm = get_encoder(args.encoder, args.ckpt_path)
     paths = sorted(
@@ -98,8 +164,17 @@ def main(argv=None):
         raise SystemExit(f"no images in {args.source}")
     os.makedirs(args.save_dir, exist_ok=True)
     for i, path in enumerate(paths):
+        sid0 = os.path.splitext(os.path.basename(path))[0]
+        row = plist.get(sid0) if plist is not None else None
+        if plist is not None and row is None:
+            continue  # not on the list (reference: process_list filters)
+        if row is not None and str(row.get("process", "1")).strip() in ("0", "false"):
+            print(f"[{i + 1}/{len(paths)}] {sid0}: process=0, skipped")
+            continue
         t0 = time.time()
-        sid, n = process_slide(path, fn, norm, args)
+        sid, n = process_slide(
+            path, fn, norm, args, slide_params(args, [preset, row])
+        )
         if sid is None:
             print(f"[{i + 1}/{len(paths)}] {path}: no tissue found, skipped")
         else:
