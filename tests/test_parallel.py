@@ -198,3 +198,35 @@ def test_driver_with_mesh_mhim():
     res = run_experiment(cfg)
     assert len(res["folds"]) == 2
     assert np.isfinite(res["summary"]["auc"]["mean"])
+
+
+def test_streamed_nystrom_under_sp_sharding():
+    """The flash-style streamed Nystrom (used for bags >= 4096 tokens) must
+    be exact under instance-axis (sp) sharding — GSPMD resolves the
+    clamped-window dynamic slices over the sharded axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mhim_mil_tpu.ops.nystrom import nystrom_attention_streamed
+
+    B, N, H, DH, M = 2, 4096, 2, 8, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, N, H, DH)), jnp.float32) * DH ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, N, H, DH)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, DH)), jnp.float32)
+    mask = jnp.asarray(np.arange(N)[None] < np.array([N, 3000])[:, None])
+
+    f = jax.jit(
+        lambda q, k, v, m: nystrom_attention_streamed(
+            q, k, v, m, M, return_attn=True, chunk=512
+        )
+    )
+    o1, a1 = f(q, k, v, mask)
+
+    mesh = make_mesh(dp=2, sp=4)
+    with mesh:
+        sh = NamedSharding(mesh, P("dp", "sp", None, None))
+        qm, km, vm = (jax.device_put(t, sh) for t in (q, k, v))
+        mm = jax.device_put(mask, NamedSharding(mesh, P("dp", "sp")))
+        o2, a2 = f(qm, km, vm, mm)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-8)
