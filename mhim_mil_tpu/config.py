@@ -116,6 +116,7 @@ class Config:
     # ---- Mamba (reference options.py:156-172) ----
     mambamil_dim: int = 128
     mambamil_rate: int = 10
+    mambamil_type: Optional[str] = None  # Mamba | SRMamba | BiMamba | SimpleMamba
     mambamil_state_dim: int = 16
     mambamil_layer: int = 1
     mamba_2d: bool = False
@@ -228,8 +229,6 @@ _NOOP_FLAGS = {
                     "use --rrt_n_layers for RRT depth"),
     "num_workers": (6, "host IO is synchronous + device-prefetched here; "
                        "there is no worker pool"),
-    "mambamil_rate": (10, "consumed only by the reference's dead SRMamba path "
-                          "(options.py:154; build_mil never passes it)"),
     "mamba_2d": (False, "select the 2D model with --model 2dmamba; this flag "
                         "is dead in the reference as well"),
 }

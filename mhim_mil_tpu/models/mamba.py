@@ -57,6 +57,31 @@ def rasterize_grid(feats, coords, mask, h: int, w: int, pad_token):
     return grid[:, : h * w].reshape(b, h, w, c), gmask[:, : h * w].reshape(b, h, w)
 
 
+def sr_permute(x, mask, rate: int):
+    """SRMamba sequence re-embedding (reference srmamba.py:33-46
+    ``transpose_normal_padding``): zero-pad L to a multiple of ``rate`` and
+    reorder ``(k w) -> (w k)`` with ``w = rate``. Padded slots are masked."""
+    b, l, c = x.shape
+    k = -(-l // rate)
+    pad = k * rate - l
+    if mask is None:
+        mask = jnp.ones((b, l), bool)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    xp = x.reshape(b, k, rate, c).transpose(0, 2, 1, 3).reshape(b, k * rate, c)
+    mp = mask.reshape(b, k, rate).transpose(0, 2, 1).reshape(b, k * rate)
+    return xp, mp
+
+
+def sr_unpermute(y, rate: int, length: int):
+    """Inverse of :func:`sr_permute` + truncation (reference srmamba.py:48-54)."""
+    b, lp, c = y.shape
+    k = lp // rate
+    y = y.reshape(b, rate, k, c).transpose(0, 2, 1, 3).reshape(b, lp, c)
+    return y[:, :length]
+
+
 def _rowmajor_coords(n: int, w: int):
     idx = jnp.arange(n)
     return jnp.stack([idx % w, idx // w], axis=-1)
@@ -78,6 +103,68 @@ class MambaBlock(nn.Module):
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
     use_flash: bool = False  # fused Pallas 2D scan on no-grad TPU paths
+    # 1D variants (reference vendors them in mamba_ssm/modules/):
+    #   simple  — SimpleMamba, the deployed path
+    #   srmamba — second branch over the stride-permuted sequence
+    #             (TransposeTokenReEmbedding, srmamba.py:32-56): pad L to a
+    #             multiple of ``sr_rate``, reorder (k w)->(w k), scan with a
+    #             separate parameter set, un-permute, sum pre-gate.
+    #   bimamba — second branch over the flipped sequence (bimamba.py:56).
+    variant: str = "simple"
+    sr_rate: int = 10
+
+    def _branch_1d(self, xin_raw, mask, suffix, ed, n, dt_rank):
+        """conv1d → SiLU → x_proj → dt_proj → masked selective scan → pre-gate
+        y, with a branch-local parameter set (reference srmamba/bimamba carry
+        conv1d_b / x_proj_b / dt_proj_b / A_b_log / D_b).
+
+        Masked positions are zeroed before the causal conv: after the flip /
+        stride-permute they sit *upstream* of valid tokens, so unlike the
+        primary branch the conv would otherwise leak padding into them."""
+        if mask is not None:
+            xin_raw = jnp.where(mask[..., None], xin_raw, 0)
+        seq = nn.Conv(
+            ed, (self.d_conv,), padding=[(self.d_conv - 1, 0)],
+            feature_group_count=ed, name=f"conv1d{suffix}",
+        )(xin_raw)
+        seq = nn.silu(seq)
+        dbc = dense(dt_rank + 2 * n, use_bias=False, name=f"x_proj{suffix}")(seq)
+        dt, b_ssm, c_ssm = jnp.split(dbc, [dt_rank, dt_rank + n], axis=-1)
+        if self.inner_layernorms:
+            dt = RMSNorm(dt_rank, name=f"dt_layernorm{suffix}")(dt)
+            b_ssm = RMSNorm(n, name=f"B_layernorm{suffix}")(b_ssm)
+            c_ssm = RMSNorm(n, name=f"C_layernorm{suffix}")(c_ssm)
+        dt_std = dt_rank ** -0.5
+
+        def dt_bias_init(key, shape, dtype=jnp.float32):
+            u = jax.random.uniform(key, shape, dtype)
+            dtv = jnp.exp(
+                u * (math.log(self.dt_max) - math.log(self.dt_min))
+                + math.log(self.dt_min)
+            )
+            dtv = jnp.maximum(dtv, self.dt_init_floor)
+            return dtv + jnp.log(-jnp.expm1(-dtv))
+
+        def dt_kernel_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -dt_std, dt_std)
+
+        delta = jax.nn.softplus(
+            nn.Dense(
+                ed, kernel_init=dt_kernel_init, bias_init=dt_bias_init,
+                name=f"dt_proj{suffix}",
+            )(dt)
+        )
+        a_log = self.param(
+            f"A{suffix}_log",
+            lambda key, shape: jnp.log(
+                jnp.tile(jnp.arange(1, n + 1, dtype=jnp.float32), (ed, 1))
+            ),
+            (ed, n),
+        )
+        d_skip = self.param(f"D{suffix}", nn.initializers.ones, (ed,))
+        return selective_scan_1d(
+            seq, delta, -jnp.exp(a_log), b_ssm, c_ssm, d_skip, mask=mask
+        )
 
     @nn.compact
     def __call__(self, x, mask=None, *, training: bool = False):
@@ -93,6 +180,7 @@ class MambaBlock(nn.Module):
 
         xz = dense(2 * ed, use_bias=False, name="in_proj")(x)
         xin, z = jnp.split(xz, 2, axis=-1)
+        xin_raw = xin  # pre-conv input, reused by the srmamba/bimamba branch
 
         # depthwise causal conv over the raster order (reference :242-252)
         seq = xin.reshape(bs, hh * ww, ed) if two_d else xin
@@ -163,6 +251,21 @@ class MambaBlock(nn.Module):
                 y = selective_scan_2d(xin, delta, a, b_ssm, c_ssm, d_skip)
         else:
             y = selective_scan_1d(xin, delta, a, b_ssm, c_ssm, d_skip, mask=mask)
+            if self.variant in ("srmamba", "bimamba"):
+                l = xin_raw.shape[1]
+                if self.variant == "bimamba":
+                    xb = jnp.flip(xin_raw, axis=1)
+                    mb = None if mask is None else jnp.flip(mask, axis=1)
+                    y_b = self._branch_1d(xb, mb, "_b", ed, n, dt_rank)
+                    y_b = jnp.flip(y_b, axis=1)
+                else:
+                    xb, mb = sr_permute(xin_raw, mask, self.sr_rate)
+                    y_b = self._branch_1d(xb, mb, "_b", ed, n, dt_rank)
+                    y_b = sr_unpermute(y_b, self.sr_rate, l)
+                # branch outputs sum before the z-gate: out = (y_a + P⁻¹y_b)⊙σ(z)
+                # equals the reference's out_a + out_b since the permutation
+                # commutes with the elementwise gate (srmamba.py:214-232).
+                y = y + y_b
 
         out = y * nn.silu(z)
         return dense(self.d_model, use_bias=False, name="out_proj")(out)
@@ -175,13 +278,16 @@ class ResidualMamba(nn.Module):
     d_state: int = 16
     mamba_2d: bool = False
     use_flash: bool = False
+    variant: str = "simple"
+    sr_rate: int = 10
 
     @nn.compact
     def __call__(self, x, mask=None, *, training: bool = False):
         normed = RMSNorm(self.d_model, name="norm")(x)
         out = MambaBlock(
             self.d_model, self.d_state, mamba_2d=self.mamba_2d,
-            use_flash=self.use_flash, name="mixer"
+            use_flash=self.use_flash, variant=self.variant,
+            sr_rate=self.sr_rate, name="mixer"
         )(normed, mask=mask, training=training)
         return out + x
 
@@ -269,6 +375,8 @@ class MambaMIL1D(nn.Module):
     n_layers: int = 1
     d_state: int = 16
     dropout: float = 0.25
+    variant: str = "simple"  # simple | srmamba | bimamba (--mambamil_type)
+    sr_rate: int = 10  # --mambamil_rate (SRMamba branch stride)
 
     @nn.compact
     def __call__(self, feats, mask, *, training: bool = False, return_attn: bool = False):
@@ -280,7 +388,10 @@ class MambaMIL1D(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not training)(x)
 
         for i in range(self.n_layers):
-            x = ResidualMamba(self.dim, self.d_state, name=f"layer{i}")(x, mask=mask)
+            x = ResidualMamba(
+                self.dim, self.d_state, variant=self.variant,
+                sr_rate=self.sr_rate, name=f"layer{i}"
+            )(x, mask=mask)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         a = jnp.tanh(dense(128, name="attn_0")(x))

@@ -209,6 +209,13 @@ def _2dmamba(cfg):
 def _mambamil(cfg):
     from .mamba import MambaMIL1D
 
+    # --mambamil_type (reference options.py:158 choices Mamba/SRMamba/
+    # SimpleMamba; BiMamba is vendored too, bimamba.py): Mamba and
+    # SimpleMamba both map to the single-branch block.
+    variant = {
+        None: "simple", "none": "simple", "mamba": "simple",
+        "simplemamba": "simple", "srmamba": "srmamba", "bimamba": "bimamba",
+    }[(cfg.mambamil_type or "none").lower()]
     return (
         MambaMIL1D(
             input_dim=cfg.input_dim,
@@ -217,6 +224,8 @@ def _mambamil(cfg):
             n_layers=cfg.mambamil_layer,
             d_state=cfg.mambamil_state_dim,
             dropout=cfg.dropout,
+            variant=variant,
+            sr_rate=cfg.mambamil_rate,
         ),
         "default",
     )

@@ -206,3 +206,92 @@ def test_mamba2d_with_coords():
     step = make_train_step(cfg, model, family, len(batches))
     state, m = step(state, batches[0])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sr_permute_matches_reference():
+    """SRMamba's sequence re-embedding equals the reference's pure-torch
+    TransposeTokenReEmbedding (srmamba.py:32-54), round-trip included."""
+    import sys
+    import types
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    try:
+        import einops  # noqa: F401
+    except ImportError:
+        pytest.skip("einops absent")
+    import os
+
+    if not os.path.isdir("/root/reference/modules"):
+        pytest.skip("reference not mounted")
+    if "modules" not in sys.modules:
+        pkg = types.ModuleType("modules")
+        pkg.__path__ = ["/root/reference/modules"]
+        sys.modules["modules"] = pkg
+    # srmamba imports CUDA-bound ops at module import; lift just the class
+    src = open(
+        "/root/reference/modules/mamba/mamba_ssm/modules/srmamba.py"
+    ).read()
+    ns = {}
+    cls_src = src[src.index("class TransposeTokenReEmbedding"):]
+    cls_src = cls_src[: cls_src.index("\nclass SRMamba")]
+    exec(  # noqa: S102 - executing the reference's pure-torch helper verbatim
+        "import torch\nfrom einops import rearrange\n" + cls_src, ns
+    )
+    TTR = ns["TransposeTokenReEmbedding"]
+
+    from mhim_mil_tpu.models.mamba import sr_permute, sr_unpermute
+
+    rng = np.random.default_rng(0)
+    for l, rate in ((37, 10), (40, 10), (17, 4)):
+        x = rng.normal(size=(2, l, 6)).astype(np.float32)
+        want = (
+            TTR.transpose_normal_padding(
+                torch.tensor(x).transpose(1, 2), rate
+            )
+            .transpose(1, 2)
+            .numpy()
+        )
+        got, mp = sr_permute(jnp.asarray(x), None, rate)
+        np.testing.assert_allclose(np.asarray(got), want, atol=0)
+        # mask marks exactly the real tokens
+        assert int(mp.sum()) == 2 * l
+        # inverse restores the original order/length
+        back = sr_unpermute(got, rate, l)
+        np.testing.assert_allclose(np.asarray(back), x, atol=0)
+        # and matches the reference inverse applied to the permuted tensor
+        want_back = (
+            TTR.transpose_remove_padding(
+                torch.tensor(np.asarray(got)).transpose(1, 2), rate, l
+            )
+            .transpose(1, 2)
+            .numpy()
+        )
+        np.testing.assert_allclose(np.asarray(back), want_back, atol=0)
+
+
+def test_mambamil_variants_train():
+    """srmamba/bimamba variants run, differ from simple, and are
+    garbage-invariant over padding."""
+    import jax
+
+    from mhim_mil_tpu.models.mamba import MambaMIL1D
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 37, 16)), jnp.float32)
+    mask = jnp.asarray(np.arange(37)[None] < np.array([37, 20])[:, None])
+    outs = {}
+    for variant in ("simple", "srmamba", "bimamba"):
+        m = MambaMIL1D(input_dim=16, dim=32, variant=variant, sr_rate=4)
+        v = m.init(jax.random.PRNGKey(0), feats, mask)
+        out = m.apply(v, feats, mask)["logits"]
+        assert np.isfinite(np.asarray(out)).all()
+        outs[variant] = np.asarray(out)
+        if variant != "simple":
+            assert not np.allclose(outs[variant], outs["simple"])
+            assert ("conv1d_b" in str(jax.tree_util.tree_structure(v)))
+        # garbage invariance
+        feats2 = feats.at[1, 20:].set(123.0)
+        out2 = m.apply(v, feats2, mask)["logits"]
+        np.testing.assert_allclose(outs[variant], np.asarray(out2), atol=1e-5)
