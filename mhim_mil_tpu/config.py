@@ -193,9 +193,25 @@ def load_config(argv: Optional[List[str]] = None, **overrides) -> Config:
             parser.add_argument(f"--{name}", nargs="?", const="true", default=None)
         else:
             parser.add_argument(f"--{name}", default=None, type=str)
+    for name in (*COMPAT_MAP, *COMPAT_IGNORE):
+        parser.add_argument(
+            f"--{name}", nargs="?", const="true", default=None,
+            dest=f"_compat_{name}",
+        )
     cli, unknown = parser.parse_known_args(rest)
     if unknown:
         raise SystemExit(f"unknown flags: {unknown}")
+
+    import warnings
+
+    compat_updates = {}
+    for name in COMPAT_MAP:
+        v = getattr(cli, f"_compat_{name}")
+        if v is not None:
+            COMPAT_MAP[name](compat_updates, v)
+    for name, why in COMPAT_IGNORE.items():
+        if getattr(cli, f"_compat_{name}") is not None:
+            warnings.warn(f"--{name} has no effect here: {why}")
 
     import typing
 
@@ -205,15 +221,77 @@ def load_config(argv: Optional[List[str]] = None, **overrides) -> Config:
         if v is not None:
             values[name] = _coerce(str(v), hints[name])
 
-    # YAML values may already be typed; coerce strings only.
+    # YAML values may already be typed; coerce strings only. Reference-only
+    # YAML keys go through the same compat mapping as the CLI.
     clean = {}
     for k, v in values.items():
+        if k in COMPAT_MAP:
+            COMPAT_MAP[k](compat_updates, v)
+            continue
+        if k in COMPAT_IGNORE:
+            warnings.warn(f"config key '{k}' has no effect here: {COMPAT_IGNORE[k]}")
+            continue
         if k not in fields:
             raise SystemExit(f"unknown config key: {k}")
         clean[k] = _coerce(v, hints[k]) if isinstance(v, str) else v
+    # compat mappings override plain values (e.g. --no_tea_init must cancel a
+    # YAML-configured teacher_init, reference modules/__init__.py:184)
+    clean.update(compat_updates)
     clean.update(overrides)
     cfg = Config(**clean)
     return finalize_config(cfg)
+
+
+# Reference CLI flags with no field here: accepted for drop-in command-line
+# compatibility, each either MAPPED onto this framework's equivalent or
+# warned-ignored with the reason (reference options.py defines ~120 flags;
+# these are the ones whose concept changed or died on TPU).
+COMPAT_MAP = {
+    # fp16 autocast → bf16 policy: --no_amp requests full fp32
+    "no_amp": lambda cfg_kw, v: cfg_kw.update(compute_dtype="float32"),
+    "amp": lambda cfg_kw, v: cfg_kw.update(compute_dtype="bfloat16"),
+    "no_mil_bias": lambda cfg_kw, v: cfg_kw.update(mil_bias=False),
+    # skip the teacher-init load (reference modules/__init__.py:184)
+    "no_tea_init": lambda cfg_kw, v: cfg_kw.update(teacher_init=None),
+}
+COMPAT_IGNORE = {
+    "amp_growth_interval": "no GradScaler under bf16",
+    "amp_scale_index": "no GradScaler under bf16",
+    "amp_test": "eval already runs the bf16 policy",
+    "amp_unscale": "no GradScaler under bf16",
+    "attn_type": "dead in the reference zoo builder",
+    "channels_last": "XLA chooses layouts",
+    "cuda_pscan": "scans are XLA/Pallas here",
+    "deter_algo": "XLA is deterministic by default",
+    "ffn": "dead rrt option in the reference",
+    "ffn_dp": "dead rrt option in the reference",
+    "ffn_ratio": "dead rrt option in the reference",
+    "img_size": "feature-input pipeline (see tools/extract_features.py)",
+    "init_stu_type": "student warm-starts from the teacher overlay",
+    "mamba_2d_patch_size": "reference deploys patch_size=1 only",
+    "mambamil_inner_layernorms": "always on — the reference's deployed "
+    "2dmamba passes inner_layernorms=<int d_state> (mambamil_2d.py:47), "
+    "truthy, so they are effectively always on there too",
+    "max_patch_train": "dormant in the reference (options.py:52)",
+    "merge_mask_type": "the reference flagship hardcodes 'random' "
+    "(mhim.py:80-83)",
+    "no_deter_algo": "XLA is deterministic by default",
+    "no_determ": "XLA is deterministic by default",
+    "no_drop_last": "bucketed batching pads short batches instead",
+    "no_prefetch": "device prefetch is built into the driver",
+    "no_prefetch_test": "eval splits are staged on device once",
+    "pin_memory": "no CUDA host staging",
+    "prefetch_factor": "double-buffered device_put",
+    "pscan": "scans are always parallel here",
+    "p_batch_size": "dormant e2e path in the reference",
+    "p_batch_size_v": "dormant e2e path in the reference",
+    "rrt_pool": "rrt uses the reference's deployed attention pooling",
+    "sdpa_type": "attention kernels are selected by use_flash_attn",
+    "tea_type": "teacher is the EMA copy (reference 'same' mode: set "
+    "--mm 0 for an always-equal teacher)",
+    "wandb_watch": "gradient watching is not supported",
+    "num_workers_test": "host IO is synchronous",
+}
 
 
 # Flags that parse but are consumed by no code path, with the reason. A

@@ -160,3 +160,27 @@ def test_csv_driver_end_to_end(feature_store, tmp_path):
     res = run_experiment(cfg)
     assert len(res["folds"]) == 2
     assert os.path.exists(tmp_path / "out" / "fold_0_model_best.ckpt")
+
+
+def test_reference_cli_compat_flags():
+    """Reference command lines with flags whose concept changed on TPU must
+    still parse: mapped flags land on the equivalent field, dead ones warn."""
+    import warnings
+
+    from mhim_mil_tpu.config import load_config
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = load_config(
+            ["--no_amp", "--no_determ", "--pscan", "--no_mil_bias",
+             "--model", "abmil", "--num_workers_test", "2"]
+        )
+    assert cfg.compute_dtype == "float32"
+    assert cfg.mil_bias is False
+    msgs = " ".join(str(x.message) for x in w)
+    assert "--no_determ" in msgs and "--pscan" in msgs
+
+    # --no_tea_init cancels a configured teacher_init (reference
+    # modules/__init__.py:184)
+    cfg = load_config(["--teacher_init", "x.ckpt", "--no_tea_init"])
+    assert cfg.teacher_init is None
