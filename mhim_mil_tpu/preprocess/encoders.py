@@ -396,33 +396,37 @@ def get_encoder(
         fn = jax.jit(partial(model.apply, variables))
         return fn, ENCODER_NORM[name]
 
-    if name == "uni_v1":
-        # ViT-L/16, layerscale 1e-5 (reference builder.py:86-91 asserts the
-        # checkpoint the same way: UNI weights must be downloaded).
+    if name in ("uni_v1", "gigap"):
+        # timm-format ViT checkpoints: UNI = ViT-L/16 w/ layerscale 1e-5
+        # (reference builder.py:86-91), prov-gigapath = ViT-giant/16
+        # (builder.py:113-124). Geometry is inferred from the state dict;
+        # the importer is golden-tested on the ViT family.
         if not ckpt_path:
+            env = ENCODER_CKPT_ENV[name]
             raise NotImplementedError(
-                "encoder 'uni_v1' needs the UNI checkpoint: set UNI_CKPT_PATH "
-                "or pass ckpt_path (reference builder.py:30-43 'UNI is not "
-                "available')."
+                f"encoder '{name}' needs its downloaded checkpoint: set "
+                f"{env} or pass ckpt_path (reference builder.py:30-72 "
+                "asserts the same)."
             )
         import torch
 
         sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
         sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
         has_ls = any(k.endswith("ls1.gamma") for k in sd)
-        # infer geometry from the checkpoint (UNI = ViT-L/16: 1024/24/16);
         # heads follow the timm convention head_dim = 64
         dim = int(sd["pos_embed"].shape[-1])
         depth = sum(1 for k in sd if k.endswith(".norm1.weight"))
+        patch = int(sd["patch_embed.proj.weight"].shape[-1])
         model = ViTEncoder(
             embed_dim=dim, depth=depth, heads=max(dim // 64, 1),
-            layer_scale=has_ls,
+            patch=patch, layer_scale=has_ls,
         )
         variables = jax.tree.map(jnp.asarray, import_vit(sd))
         fn = jax.jit(partial(model.apply, variables))
         return fn, ENCODER_NORM[name]
 
-    if name in ("conch_v1", "chief", "gigap", "sd_vae"):
+    if name in ("conch_v1", "chief", "sd_vae"):
         env = ENCODER_CKPT_ENV.get(name, "HF_TOKEN")
         raise NotImplementedError(
             f"encoder '{name}' needs an externally downloaded checkpoint "

@@ -505,3 +505,29 @@ def test_merge_forward_parity(ref_modules):
         method=Merge._merge,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_select_mask_mean_fusion_golden(ref_modules):
+    """Multi-head 'mean' fusion (reference masking.py:44-48: per-head
+    top-(k//H), unioned via torch.unique) matches exactly on unique scores."""
+    torch = ref_modules
+    from modules.mhim_modules.masking import select_mask_fn
+
+    from mhim_mil_tpu.ops.masking import select_mask
+
+    rng = np.random.default_rng(3)
+    ps, h = 48, 4
+    attn = rng.permutation(ps * h).reshape(1, h, ps).astype(np.float32)
+
+    for largest, ratio in [(True, 0.4), (False, 0.25)]:
+        lk, ids = select_mask_fn(
+            ps, torch.tensor(attn), largest, ratio, msa_fusion="mean"
+        )
+        want = set(ids[0, lk:].tolist())
+        sel = select_mask(
+            jax.random.PRNGKey(0), jnp.asarray(attn),
+            jnp.ones((1, ps), bool), ratio, largest=largest,
+            msa_fusion="mean",
+        )
+        got = set(np.flatnonzero(np.asarray(sel)[0]).tolist())
+        assert got == want, (largest, ratio)
