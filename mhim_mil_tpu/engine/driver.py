@@ -424,22 +424,37 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         t0 = time.time()
         n_steps = 0
         loss_sum = None
-        for jb in _prefetch_to_device(
-            _iter_batches(
-                cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
-                patch_shuffle=cfg.patch_shuffle,
-            ),
-            mesh, shard_instances,
-        ):
-            state, tm = train_step(state, jb)
-            # epoch-mean loss meter (reference base_engine.py:179-218); the
-            # sum accumulates lazily on device — one host fetch per epoch.
-            loss_sum = tm["loss"] if loss_sum is None else loss_sum + tm["loss"]
-            n_steps += 1
-        train_loss = float(loss_sum) / max(n_steps, 1)
+        # --script_mode no_train: keep the epoch/validation machinery but
+        # skip parameter updates (reference main.py:263-268)
+        if cfg.script_mode != "no_train":
+            for jb in _prefetch_to_device(
+                _iter_batches(
+                    cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
+                    patch_shuffle=cfg.patch_shuffle,
+                ),
+                mesh, shard_instances,
+            ):
+                state, tm = train_step(state, jb)
+                # epoch-mean loss meter (reference base_engine.py:179-218);
+                # the sum accumulates lazily on device — one host fetch/epoch.
+                loss_sum = tm["loss"] if loss_sum is None else loss_sum + tm["loss"]
+                n_steps += 1
+        train_loss = float(loss_sum) / n_steps if n_steps else 0.0
         if profiling:
             jax.profiler.stop_trace()
             profiling = False
+
+        # --script_mode only_train: no per-epoch validation or selection
+        # (reference main.py:270-271)
+        if cfg.script_mode == "only_train":
+            history.append({"epoch": epoch, "train_loss": train_loss})
+            if logger is not None:
+                logger.log({f"fold{fold}/train_loss": train_loss}, step=epoch)
+            print(
+                f"[fold {fold}] epoch {epoch}: train_loss={train_loss:.4f} "
+                f"({time.time() - t0:.1f}s, {n_steps} steps)"
+            )
+            continue
 
         row = evaluate(cfg, eval_step, state, val_slides, fold, bootstrap=False)
         rows = {"val": row}

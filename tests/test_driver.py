@@ -265,3 +265,22 @@ def test_teacher_init_from_reference_torch_ckpt(tmp_path):
     want = ref.state_dict()["feature.0.weight"].numpy().T
     np.testing.assert_allclose(params["feature"]["proj"]["kernel"], want)
     assert buffers is None
+
+
+def test_script_modes_no_train_and_only_train():
+    """--script_mode no_train skips updates (params unchanged, val still
+    runs); only_train skips per-epoch validation (reference
+    main.py:258-271)."""
+    cfg = _tiny_cfg(script_mode="no_train", num_epoch=2, max_epoch=2)
+    res = run_experiment(cfg)
+    assert np.isfinite(res["summary"]["auc"]["mean"])
+    # no training happened: every epoch logged loss 0
+    assert all(h["train_loss"] == 0.0 for f in res["folds"] for h in f["history"])
+
+    cfg = _tiny_cfg(script_mode="only_train", num_epoch=2, max_epoch=2)
+    res = run_experiment(cfg)
+    # epochs carry only train_loss; final test metrics still computed
+    assert all(
+        set(h) == {"epoch", "train_loss"} for f in res["folds"] for h in f["history"]
+    )
+    assert np.isfinite(res["summary"]["auc"]["mean"])
