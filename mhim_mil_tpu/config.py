@@ -305,8 +305,6 @@ _NOOP_FLAGS = {
                           "reads it (modules/utils.py:72)"),
     "n_layers": (2, "the live zoo hardcodes 2 TransLayers like the reference; "
                     "use --rrt_n_layers for RRT depth"),
-    "num_workers": (6, "host IO is synchronous + device-prefetched here; "
-                       "there is no worker pool"),
     "mamba_2d": (False, "select the 2D model with --model 2dmamba; this flag "
                         "is dead in the reference as well"),
 }

@@ -82,6 +82,23 @@ class FeatureBagStore:
             self._cache[fname] = feats
         return feats
 
+    def prefetch(self, fnames, num_workers: int = 6) -> None:
+        """Load many bags concurrently into the cache — the counterpart of
+        the reference's DataLoader worker pool (``--num_workers``,
+        datasets/dataloader.py:35); torch/h5 decoding releases the GIL, so a
+        thread pool gives real parallel IO. No-op for workers <= 1."""
+        todo = [f for f in dict.fromkeys(fnames) if f not in self._cache]
+        if num_workers <= 1 or len(todo) < 2:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(f):
+            return f, load_pt_features(os.path.join(self.pt_dir, f))
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            for f, feats in ex.map(_one, todo):
+                self._cache[f] = feats
+
     def coords(self, fname: str) -> Optional[np.ndarray]:
         h5 = os.path.join(self.h5_dir, fname.replace(".pt", ".h5"))
         if not os.path.exists(h5):
@@ -104,10 +121,16 @@ def build_cls_slides(
     labels: Sequence,
     dataset: str,
     with_pos: bool = False,
+    num_workers: int = 1,
 ) -> List[Dict]:
     """Classification slides: one dict per matching feature file
-    (reference FeatClsDataset dataset_feat.py:10-111)."""
+    (reference FeatClsDataset dataset_feat.py:10-111). ``num_workers``
+    parallelizes the upfront feature loading."""
     int_labels = map_labels(labels, dataset)
+    store.prefetch(
+        [f for pid in ids for f in match_slides(str(pid), store.files)],
+        num_workers,
+    )
     slides = []
     for pid, lab in zip(ids, int_labels):
         for f in match_slides(str(pid), store.files):
@@ -117,6 +140,8 @@ def build_cls_slides(
                 if pos is not None:
                     s["pos"] = pos
             slides.append(s)
+    if not store.persistence:
+        store._cache.clear()
     return slides
 
 
@@ -124,6 +149,7 @@ def build_surv_slides(
     store: FeatureBagStore,
     df,
     with_pos: bool = False,
+    num_workers: int = 1,
 ) -> List[Dict]:
     """Survival slides: patient-level concat of all matching bags
     (reference FeatSurvDataset dataset_feat.py:113-260); carries the hazard
@@ -135,6 +161,10 @@ def build_surv_slides(
     slides therefore share a grid origin — reference behavior, kept) so
     2D-Mamba survival runs see real grids instead of a row-major pseudo-grid.
     """
+    store.prefetch(
+        [f for _, r in df.iterrows() for f in match_slides(str(r["ID"]), store.files)],
+        num_workers,
+    )
     slides = []
     for _, row in df.iterrows():
         files = match_slides(str(row["ID"]), store.files)
@@ -155,4 +185,6 @@ def build_surv_slides(
                 if len(pos) == len(feats):
                     s["pos"] = pos
         slides.append(s)
+    if not store.persistence:
+        store._cache.clear()
     return slides

@@ -83,10 +83,12 @@ def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
 
     def to_slides(sub):
         if surv:
-            return build_surv_slides(store, sub, with_pos=with_pos)
+            return build_surv_slides(
+                store, sub, with_pos=with_pos, num_workers=cfg.num_workers
+            )
         return build_cls_slides(
             store, sub["ID"].tolist(), sub["Label"].tolist(), cfg.datasets,
-            with_pos=with_pos,
+            with_pos=with_pos, num_workers=cfg.num_workers,
         )
 
     if "Split" in df.columns and not cfg.random_fold:
