@@ -160,10 +160,23 @@ def main() -> None:
         lats.append((time.perf_counter() - t0) * 1000)
     p50, p90 = float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
 
+    # 4. Batched serving throughput: forward_test at the training batch,
+    #    pipelined dispatch (what a bulk scorer sustains, link-independent).
+    eb = {"feats": batch["feats"], "mask": batch["mask"]}
+    acc = None
+    float(jnp.sum(eval_step(state, eb)["logits"]))  # compile
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        out = eval_step(state, eb)["logits"]
+        acc = out if acc is None else acc + out
+    float(jnp.sum(acc))
+    eval_bps = MEASURE_STEPS * BATCH / (time.perf_counter() - t0)
+
     detail = {
         "dense_bags_per_sec": round(dense_bps, 2),
         "ragged_bags_per_sec": round(ragged_bps, 2),
         "ragged_mean_len": int(lens.mean()),
+        "eval_slides_per_sec": round(eval_bps, 2),
         "infer_p50_ms": round(p50, 2),
         "infer_p90_ms": round(p90, 2),
         "host_roundtrip_floor_ms": round(roundtrip_ms, 2),
