@@ -42,6 +42,10 @@ class Config:
     max_epoch: int = 130
     warmup_epochs: int = 0
     patient: int = 20
+    # early-stop monitor: 'metric' = negative task metric (AUC / acc /
+    # c-index), exactly the reference (engines/metrics.py:196-204);
+    # 'loss' = validation loss (opt-in divergence)
+    early_stop_on: str = "metric"
     input_dim: int = 1024
     n_classes: int = 2
     batch_size: int = 1
@@ -96,6 +100,10 @@ class Config:
     mask_ratio_h: float = 0.0
     mask_ratio_hr: float = 1.0
     mrh_sche: bool = False
+    # student warm-start from --teacher_init: none | fc | all (reference
+    # modules/__init__.py:157-174; default 'none' per options.py:292 — the
+    # student trains from scratch while the teacher starts pretrained)
+    init_stu_type: str = "none"
     attn2score: bool = False
     temp_t: float = 0.1
     teacher_init: Optional[str] = None
@@ -267,7 +275,6 @@ COMPAT_IGNORE = {
     "ffn_dp": "dead rrt option in the reference",
     "ffn_ratio": "dead rrt option in the reference",
     "img_size": "feature-input pipeline (see tools/extract_features.py)",
-    "init_stu_type": "student warm-starts from the teacher overlay",
     "mamba_2d_patch_size": "reference deploys patch_size=1 only",
     "mambamil_inner_layernorms": "always on — the reference's deployed "
     "2dmamba passes inner_layernorms=<int d_state> (mambamil_2d.py:47), "

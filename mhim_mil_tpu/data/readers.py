@@ -42,9 +42,15 @@ def coords_to_grid(coords: np.ndarray, attrs: Dict) -> np.ndarray:
     (reference get_seq_pos_fn data_utils.py:110-162): divide by
     ``patch_size_level0 = patch_size * downsample`` and shift to origin."""
     patch_size = int(attrs.get("patch_size", 256))
-    downsample = attrs.get("downsample", [1, 1])
-    step = patch_size * int(np.asarray(downsample).reshape(-1)[0])
-    grid = (coords // max(step, 1)).astype(np.int64)
+    # downsample is a per-axis 2-vector in CLAM h5 attrs; real scanners can
+    # report anisotropic values, so each axis gets its own level-0 step
+    # (reference multiplies the full vector: data_utils.py:123 and divides
+    # coords per-axis :134-136)
+    downsample = np.asarray(attrs.get("downsample", [1, 1]), np.float64).reshape(-1)
+    if downsample.size == 1:
+        downsample = np.repeat(downsample, 2)
+    step = np.maximum((patch_size * downsample[:2]).astype(np.int64), 1)
+    grid = (coords // step[None, :]).astype(np.int64)
     grid -= grid.min(axis=0, keepdims=True)
     return grid
 

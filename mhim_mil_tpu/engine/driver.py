@@ -272,9 +272,9 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
         if cfg.teacher_init:
             # partial overlay: a mhim_pure teacher checkpoint lacks the Merge
             # params (reference modules/__init__.py:190-207 reconciles the
-            # same way); the student is warm-started from the teacher too.
-            # Reference-ecosystem torch checkpoints (.pt/.pth) are converted
-            # through utils/torch_import so published teachers drop in.
+            # same way). Reference-ecosystem torch checkpoints (.pt/.pth) are
+            # converted through utils/torch_import so published teachers drop
+            # in.
             from ..utils.checkpoint import load_checkpoint, overlay_params
 
             if cfg.teacher_init.endswith((".pt", ".pth")):
@@ -292,10 +292,26 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
                     )
             else:
                 loaded = load_checkpoint(cfg.teacher_init)["params"]
-            warm = overlay_params(state.params, loaded)
-            state = state.replace(
-                params=warm, teacher_params=jax.tree.map(jnp.copy, warm)
+            teacher = overlay_params(
+                jax.tree.map(jnp.copy, state.params), loaded
             )
+            # Student warm-start is a separate axis (--init_stu_type,
+            # reference modules/__init__.py:157-174): 'none' leaves the
+            # student at random init (reference default, options.py:292),
+            # 'fc' overlays only the feature-embed layer, 'all' everything.
+            if cfg.init_stu_type == "all":
+                stu = overlay_params(state.params, loaded)
+            elif cfg.init_stu_type == "fc":
+                stu = dict(state.params)
+                if "feature" in loaded:
+                    stu["feature"] = overlay_params(
+                        state.params["feature"], loaded["feature"]
+                    )
+            elif cfg.init_stu_type == "none":
+                stu = state.params
+            else:
+                raise ValueError(f"unknown init_stu_type: {cfg.init_stu_type}")
+            state = state.replace(params=stu, teacher_params=teacher)
         train_step = make_mhim_train_step(cfg, model, n_batches)
         eval_step = make_mhim_eval_step(cfg, model)
         eval_tea = make_mhim_eval_step(cfg, model, use_teacher=True)
@@ -394,7 +410,11 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         }
 
     stopper = EarlyStopping(patience=cfg.patient, stop_epoch=cfg.max_epoch)
-    best = {"metric": -np.inf, "state": state, "epoch": -1, "teacher": False}
+    # Dual best tracking (reference main.py:348-369): the student best and
+    # the EMA/teacher best are selected independently on their own val rows
+    # and saved as separate artifacts; both are final-tested.
+    best = {"metric": -np.inf, "state": state, "epoch": -1}
+    best_ema = {"metric": -np.inf, "state": None, "epoch": -1}
     history = []
 
     # crash-resume from the rolling checkpoint (reference save_cpk
@@ -472,16 +492,14 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             rows["val_ema"] = evaluate(
                 cfg, eval_tea, state, val_slides, fold, bootstrap=False
             )
-        for name, r in rows.items():
-            if name == "test_track":
-                continue  # never select on test
-            if r["_key_metric"] > best["metric"]:
-                best = {
-                    "metric": r["_key_metric"],
-                    "state": state,
-                    "epoch": epoch,
-                    "teacher": name == "val_ema",
-                }
+        if row["_key_metric"] > best["metric"]:
+            best = {"metric": row["_key_metric"], "state": state, "epoch": epoch}
+        if "val_ema" in rows and rows["val_ema"]["_key_metric"] > best_ema["metric"]:
+            best_ema = {
+                "metric": rows["val_ema"]["_key_metric"],
+                "state": state,
+                "epoch": epoch,
+            }
         history.append(
             {
                 "epoch": epoch,
@@ -502,7 +520,15 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
                 f"[fold {fold}] epoch {epoch}: train_loss={train_loss:.4f} "
                 f"val={row['_key_metric']:.4f} ({time.time()-t0:.1f}s, {n_steps} steps)"
             )
-        stop = cfg.early_stopping and stopper(epoch, row["_val_loss"])
+        # The reference stops on the NEGATIVE task metric of the student val
+        # row (engines/metrics.py:196-204: -auc / -acc / -cindex); loss-based
+        # stopping is an opt-in divergence (--early_stop_on loss).
+        monitor = (
+            row["_val_loss"]
+            if cfg.early_stop_on == "loss"
+            else -row["_key_metric"]
+        )
+        stop = cfg.early_stopping and stopper(epoch, monitor)
         if cfg.auto_resume and ckp_path:
             save_checkpoint(
                 ckp_path, state,
@@ -512,24 +538,33 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             print(f"[fold {fold}] early stop at epoch {epoch}")
             break
 
-    # final test with the best state (reference main.py:384-413)
-    test_eval = eval_tea if best["teacher"] else eval_step
-    test_row = evaluate(
-        cfg,
-        test_eval or eval_step,
-        best["state"],
-        test_slides,
-        fold,
-        bootstrap=cfg.bootstrap_mode in ("test", "test_val"),
-    )
+    # final test: reload both bests — the student best through the student
+    # eval path and the EMA best through the teacher eval path — and report
+    # both rows (reference main.py:384-413 `test_` + `ema_` rows)
+    boot = cfg.bootstrap_mode in ("test", "test_val")
+    test_row = evaluate(cfg, eval_step, best["state"], test_slides, fold,
+                        bootstrap=boot)
+    test_row_ema = None
+    if best_ema["state"] is not None and eval_tea is not None:
+        test_row_ema = evaluate(
+            cfg, eval_tea, best_ema["state"], test_slides, fold, bootstrap=boot
+        )
     if cfg.output_path:
         os.makedirs(cfg.output_path, exist_ok=True)
         save_checkpoint(
             os.path.join(cfg.output_path, f"fold_{fold}_model_best.ckpt"),
             best["state"],
             metadata={"epoch": best["epoch"], "fold": fold,
-                      "val_metric": best["metric"], "teacher": best["teacher"]},
+                      "val_metric": best["metric"]},
         )
+        if best_ema["state"] is not None:
+            # reference fold_{k}_ema_model_best.pt (main.py:365-369)
+            save_checkpoint(
+                os.path.join(cfg.output_path, f"fold_{fold}_ema_model_best.ckpt"),
+                best_ema["state"],
+                metadata={"epoch": best_ema["epoch"], "fold": fold,
+                          "val_metric": best_ema["metric"], "teacher": True},
+            )
         if cfg.save_result:
             # per-slide test predictions (reference --save_result)
             np.savez(
@@ -538,13 +573,20 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             )
     if cfg.auto_resume and ckp_path and os.path.exists(ckp_path):
         os.remove(ckp_path)
-    return {
+    out = {
         "fold": fold,
         "best_epoch": best["epoch"],
         "best_val": best["metric"],
         "test": {k: v for k, v in test_row.items() if not k.startswith("_")},
         "history": history,
     }
+    if test_row_ema is not None:
+        out["best_epoch_ema"] = best_ema["epoch"]
+        out["best_val_ema"] = best_ema["metric"]
+        out["test_ema"] = {
+            k: v for k, v in test_row_ema.items() if not k.startswith("_")
+        }
+    return out
 
 
 def run_experiment(cfg: Config) -> Dict:
@@ -569,17 +611,34 @@ def run_experiment(cfg: Config) -> Dict:
         )
         results.append(one_fold(cfg, k, tr, te, va, logger=logger))
 
-    summary: Dict[str, Dict[str, float]] = {}
-    keys = [
-        k for k, v in results[0]["test"].items() if isinstance(v, (int, float))
-    ]
-    for key in keys:
-        vals = np.asarray([r["test"][key] for r in results], float)
-        summary[key] = {"mean": float(np.nanmean(vals)), "std": float(np.nanstd(vals))}
+    def _aggregate(row_key):
+        agg: Dict[str, Dict[str, float]] = {}
+        rows = [r[row_key] for r in results if row_key in r]
+        if not rows:
+            return agg
+        for key, v in rows[0].items():
+            if not isinstance(v, (int, float)):
+                continue
+            vals = np.asarray([r[key] for r in rows], float)
+            agg[key] = {
+                "mean": float(np.nanmean(vals)), "std": float(np.nanstd(vals))
+            }
+        return agg
+
+    summary = _aggregate("test")
     out = {"folds": results, "summary": summary, "config_model": cfg.model}
+    # cross-fold EMA aggregate (reference appends the EMA test metrics to
+    # their own ckc_metric_ema accumulator, main.py:418-420)
+    summary_ema = _aggregate("test_ema")
+    if summary_ema:
+        out["summary_ema"] = summary_ema
     print("==== cross-val summary ====")
     for key, v in summary.items():
         print(f"  {key}: {v['mean']:.4f} ± {v['std']:.4f}")
+    for key, v in summary_ema.items():
+        print(f"  ema_{key}: {v['mean']:.4f} ± {v['std']:.4f}")
     logger.log({f"summary/{k}": v["mean"] for k, v in summary.items()})
+    if summary_ema:
+        logger.log({f"summary/ema_{k}": v["mean"] for k, v in summary_ema.items()})
     logger.close()
     return out

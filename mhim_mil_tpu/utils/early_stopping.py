@@ -1,6 +1,13 @@
-"""Early stopping on validation loss (reference: utils.py:229-294).
+"""Early stopping on a monitored quantity (reference: utils.py:229-294).
+
+The driver feeds the NEGATIVE task metric (-AUC / -acc / -c-index) exactly
+like the reference validate path (engines/metrics.py:196-204); validation
+loss is an opt-in alternative (``--early_stop_on loss``).
 
 Patience counter with an earliest-stop epoch; serialisable for crash-resume.
+Tie semantics match the reference: a score EQUAL to the best resets the
+patience counter (reference utils.py:258-267 — only ``score < best_score``
+increments), which matters for plateauing metrics like AUC.
 """
 
 from __future__ import annotations
@@ -17,16 +24,13 @@ class EarlyStopping:
         self.early_stop = False
         self.val_loss_min = math.inf
         self.save_best_model_stage = save_best_model_stage
-        self.improved = False  # True after a call that improved the best score
 
     def __call__(self, epoch: int, val_loss: float) -> bool:
         score = -val_loss if epoch >= self.save_best_model_stage else 0.0
-        self.improved = False
-        if self.best_score is None or score > self.best_score:
+        if self.best_score is None or score >= self.best_score:
             self.best_score = score
             self.val_loss_min = min(self.val_loss_min, val_loss)
             self.counter = 0
-            self.improved = True
         else:
             self.counter += 1
             if self.counter >= self.patience and epoch > self.stop_epoch:

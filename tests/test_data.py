@@ -184,3 +184,20 @@ def test_reference_cli_compat_flags():
     # modules/__init__.py:184)
     cfg = load_config(["--teacher_init", "x.ckpt", "--no_tea_init"])
     assert cfg.teacher_init is None
+
+
+def test_coords_to_grid_anisotropic_downsample():
+    """Per-axis downsample (reference get_seq_pos_fn multiplies the full
+    2-vector, data_utils.py:123): downsample=[1,2] must give different x/y
+    steps, not reuse axis 0 for both."""
+    import numpy as np
+
+    from mhim_mil_tpu.data.readers import coords_to_grid
+
+    coords = np.array([[0, 0], [256, 1024], [512, 2048]], np.int64)
+    grid = coords_to_grid(coords, {"patch_size": 256, "downsample": [1, 2]})
+    # x step 256*1=256, y step 256*2=512
+    np.testing.assert_array_equal(grid, [[0, 0], [1, 2], [2, 4]])
+    # scalar / single-element downsample still broadcasts to both axes
+    grid = coords_to_grid(coords, {"patch_size": 256, "downsample": [2]})
+    np.testing.assert_array_equal(grid, [[0, 0], [0, 2], [1, 4]])

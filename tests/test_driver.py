@@ -1,5 +1,6 @@
 """End-to-end experiment driver: k-fold CV on the synthetic fixture."""
 
+import jax
 import numpy as np
 
 from mhim_mil_tpu.config import load_config
@@ -284,3 +285,129 @@ def test_script_modes_no_train_and_only_train():
         set(h) == {"epoch", "train_loss"} for f in res["folds"] for h in f["history"]
     )
     assert np.isfinite(res["summary"]["auc"]["mean"])
+
+
+def test_early_stopping_reference_semantics():
+    """The stopper fed the negative task metric must stop at the same epoch
+    as a direct simulation of the reference EarlyStopping
+    (utils.py:229-294 driven by engines/metrics.py:196-204: score=-val_loss
+    with val_loss=-metric; ties RESET the patience counter)."""
+    from mhim_mil_tpu.utils.early_stopping import EarlyStopping
+
+    # metric sequence with a rise, an exact-tie plateau, then decay
+    metrics = [0.5, 0.6, 0.7, 0.7, 0.7, 0.65, 0.64, 0.63, 0.62, 0.61,
+               0.60, 0.59, 0.58, 0.57, 0.56]
+
+    def reference_sim(patience, stop_epoch):
+        best, counter = None, 0
+        for epoch, m in enumerate(metrics):
+            score = m  # -val_loss with val_loss=-metric
+            if best is None or score >= best:
+                best, counter = score, 0
+            else:
+                counter += 1
+                if counter >= patience and epoch > stop_epoch:
+                    return epoch
+        return None
+
+    for patience, stop_epoch in [(3, 0), (5, 0), (3, 8), (100, 0)]:
+        stopper = EarlyStopping(patience=patience, stop_epoch=stop_epoch)
+        got = None
+        for epoch, m in enumerate(metrics):
+            if stopper(epoch, -m):
+                got = epoch
+                break
+        assert got == reference_sim(patience, stop_epoch), (patience, stop_epoch)
+
+
+def test_driver_stops_on_metric_not_loss(monkeypatch):
+    """--early_stop_on metric (default) must stop when the val AUC plateaus
+    even while the val loss keeps improving (the round-2 bug: loss-based
+    stopping selects different epochs than the reference)."""
+    from mhim_mil_tpu.engine import driver as drv
+
+    # scripted val rows: metric falls after epoch 0, loss keeps improving
+    calls = {"n": 0}
+    real_evaluate = drv.evaluate
+
+    def fake_evaluate(cfg, eval_step, state, slides, fold, bootstrap):
+        row = real_evaluate(cfg, eval_step, state, slides, fold, bootstrap)
+        e = calls["n"]
+        calls["n"] += 1
+        row["_key_metric"] = 0.9 if e == 0 else 0.5  # plateau after epoch 0
+        row["_val_loss"] = 1.0 / (e + 1)  # loss keeps "improving"
+        return row
+
+    monkeypatch.setattr(drv, "evaluate", fake_evaluate)
+    cfg = _tiny_cfg(num_epoch=12, max_epoch=0, patient=3, cv_fold=2)
+    res = drv.one_fold(cfg, 0, *drv.get_folds(cfg)[0])
+    # patience 3 exhausted at epochs 1,2,3 -> stop at epoch 3
+    assert res["history"][-1]["epoch"] == 3
+    assert res["best_epoch"] == 0
+
+
+def test_dual_best_checkpoints(tmp_path):
+    """Student best AND EMA best are separate artifacts and both are
+    final-tested (reference main.py:348-369 fold_k_model_best.pt +
+    fold_k_ema_model_best.pt; test + ema test rows :384-413)."""
+    import os
+
+    cfg = _tiny_cfg(
+        model="mhim", baseline="attn", mask_ratio=0.2, num_epoch=3,
+        max_epoch=3, cv_fold=2, output_path=str(tmp_path),
+    )
+    res = run_experiment(cfg)
+    assert os.path.exists(tmp_path / "fold_0_model_best.ckpt")
+    assert os.path.exists(tmp_path / "fold_0_ema_model_best.ckpt")
+    for f in res["folds"]:
+        assert "test" in f and "test_ema" in f
+        assert np.isfinite(f["test_ema"]["auc"])
+    assert "summary_ema" in res
+    assert np.isfinite(res["summary_ema"]["auc"]["mean"])
+
+
+def test_init_stu_type_modes(tmp_path):
+    """--init_stu_type none|fc|all (reference modules/__init__.py:157-174):
+    'none' leaves the student random (reference default), 'fc' overlays only
+    the feature embed, 'all' overlays everything; the teacher always gets
+    the full overlay."""
+    import os
+
+    from mhim_mil_tpu.engine.driver import _build_fold, get_folds
+
+    cfg1 = _tiny_cfg(
+        model="mhim_pure", baseline="attn", cv_fold=2, output_path=str(tmp_path)
+    )
+    run_experiment(cfg1)
+    ckpt = os.path.join(str(tmp_path), "fold_0_model_best.ckpt")
+
+    from mhim_mil_tpu.utils.checkpoint import load_checkpoint
+
+    loaded = load_checkpoint(ckpt)["params"]
+
+    def build(mode):
+        cfg = _tiny_cfg(
+            model="mhim", baseline="attn", teacher_init=ckpt,
+            init_stu_type=mode, output_path="",
+        )
+        train, _, _ = get_folds(cfg)[0]
+        _, _, state, _, _, _ = _build_fold(cfg, train, cfg.seed)
+        return state
+
+    k = lambda p: np.asarray(p["feature"]["proj"]["kernel"])
+
+    for mode in ("none", "fc", "all"):
+        st = build(mode)
+        # teacher always warm
+        np.testing.assert_allclose(k(st.teacher_params), k(loaded))
+        if mode == "none":
+            assert not np.allclose(k(st.params), k(loaded))
+        else:
+            np.testing.assert_allclose(k(st.params), k(loaded))
+        if mode == "fc":
+            # non-feature subtrees stay random: student != teacher elsewhere
+            flat_s = jax.tree_util.tree_leaves(st.params["online_encoder"])
+            flat_t = jax.tree_util.tree_leaves(st.teacher_params["online_encoder"])
+            assert any(
+                not np.allclose(a, b) for a, b in zip(flat_s, flat_t)
+            )
