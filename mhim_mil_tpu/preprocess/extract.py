@@ -32,9 +32,27 @@ def crop_patches(image: np.ndarray, coords: np.ndarray, patch_size: int) -> np.n
     return out
 
 
+def slide_patch_reader(slide, patch_size: int) -> Callable:
+    """Patch source over an open slide (preprocess/tiff.py): random region
+    reads at level 0, decoding only the tiles each patch touches — the
+    pyramidal equivalent of ``crop_patches`` (reference Whole_Slide_Bag_FP
+    reads the same way via openslide, CLAM/dataset_modules/dataset_h5.py:79-84).
+    """
+
+    def read(chunk: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(chunk), patch_size, patch_size, 3), np.uint8)
+        for i, (x, y) in enumerate(chunk):
+            out[i] = slide.read_region(
+                (int(x), int(y)), 0, (patch_size, patch_size)
+            )
+        return out
+
+    return read
+
+
 def extract_features(
     encoder_fn: Callable,
-    image: np.ndarray,
+    image,
     coords: np.ndarray,
     patch_size: int = 256,
     batch_size: int = 256,
@@ -42,9 +60,10 @@ def extract_features(
 ) -> np.ndarray:
     """Sweep the encoder over the patch grid → ``[N, D]`` float32 features.
 
-    ``encoder_fn`` is jitted by the caller; short final batches are padded to
-    keep one compiled shape (reference batches at 256,
-    extract_features_fp.py:104).
+    ``image`` is either a full-resolution ndarray or a patch-source callable
+    (``slide_patch_reader``) for pyramidal slides. ``encoder_fn`` is jitted
+    by the caller; short final batches are padded to keep one compiled shape
+    (reference batches at 256, extract_features_fp.py:104).
     """
     import jax.numpy as jnp
 
@@ -56,7 +75,10 @@ def extract_features(
     n = len(coords)
     for start in range(0, n, batch_size):
         chunk = coords[start : start + batch_size]
-        patches = crop_patches(image, chunk, patch_size).astype(np.float32) / 255.0
+        if callable(image):
+            patches = image(chunk).astype(np.float32) / 255.0
+        else:
+            patches = crop_patches(image, chunk, patch_size).astype(np.float32) / 255.0
         patches = (patches - mean) / std
         pad = batch_size - len(chunk)
         if pad:

@@ -1,0 +1,444 @@
+"""Pyramidal / tiled TIFF reader (and fixture writer) — pure Python.
+
+This environment has no OpenSlide, so the L0 pipeline gets a native reader
+for the common WSI container: a multi-page TIFF whose pages are successive
+resolutions of one slide, each stored as independently-decodable tiles.
+The reader struct-parses the IFD chain and decodes tiles on demand, giving
+OpenSlide-like random region access without ever materializing a gigapixel
+level (reference slide handling: CLAM/wsi_core/WholeSlideImage.py:22-90
+wraps `openslide.open_slide`; `read_region` semantics match OpenSlide's —
+level-0 location, level-sized region).
+
+Supported subset (honestly documented, tested):
+  * classic TIFF (magic 42), little- or big-endian; BigTIFF (43) rejected
+    with a clear error
+  * tiled pages (TileWidth/TileLength/TileOffsets) and striped pages
+    (RowsPerStrip/StripOffsets) — thumbnails are often striped
+  * compression: 1 (none), 5 (LZW, with horizontal predictor), 7 (JPEG,
+    with or without a shared JPEGTables segment), 8/32946 (deflate)
+  * photometric: RGB, YCbCr (JPEG), grayscale (expanded to RGB)
+  * pages sorted by width into a pyramid; ``read_region`` takes level-0
+    coordinates like OpenSlide
+
+Out of scope: BigTIFF, JPEG2000 (Aperio .svs at compression 33003/33005),
+planar configuration 2, palette images. Files outside the subset raise
+``UnsupportedTiffError`` so callers can fall back to plain raster loading.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+class UnsupportedTiffError(ValueError):
+    pass
+
+
+# TIFF tag ids
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR, _PREDICTOR = 284, 317
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
+_JPEG_TABLES = 347
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q"}
+
+
+def _read_ifd(f, off: int, bo: str) -> Tuple[Dict[int, tuple], int]:
+    f.seek(off)
+    (n,) = struct.unpack(bo + "H", f.read(2))
+    tags: Dict[int, tuple] = {}
+    entries = f.read(n * 12)
+    (next_off,) = struct.unpack(bo + "I", f.read(4))
+    for i in range(n):
+        tag, typ, cnt = struct.unpack(bo + "HHI", entries[i * 12 : i * 12 + 8])
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        raw = entries[i * 12 + 8 : i * 12 + 12]
+        if size > 4:
+            (voff,) = struct.unpack(bo + "I", raw)
+            here = f.tell()
+            f.seek(voff)
+            raw = f.read(size)
+            f.seek(here)
+        else:
+            raw = raw[:size]
+        if typ in _TYPE_FMT:
+            vals = struct.unpack(bo + _TYPE_FMT[typ] * cnt, raw)
+        elif typ == 5:  # rational
+            parts = struct.unpack(bo + "II" * cnt, raw)
+            vals = tuple(a / max(b, 1) for a, b in zip(parts[::2], parts[1::2]))
+        else:
+            vals = (raw,)
+        tags[tag] = vals
+    return tags, next_off
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavour LZW (MSB-first codes, early code-size change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    width = 9
+    buf = 0
+    nbits = 0
+    prev = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # TIFF uses "early change": bump width one code early
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    return np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+
+
+class _Page:
+    def __init__(self, tags: Dict[int, tuple]):
+        self.tags = tags
+        self.width = tags[_W][0]
+        self.height = tags[_H][0]
+        self.comp = tags.get(_COMP, (1,))[0]
+        self.photo = tags.get(_PHOTO, (2,))[0]
+        self.spp = tags.get(_SPP, (1,))[0]
+        self.predictor = tags.get(_PREDICTOR, (1,))[0]
+        self.jpeg_tables = tags.get(_JPEG_TABLES, (None,))[0]
+        self.tiled = _TILE_OFF in tags
+        if self.tiled:
+            self.tw = tags[_TILE_W][0]
+            self.th = tags[_TILE_H][0]
+            self.offsets = tags[_TILE_OFF]
+            self.counts = tags[_TILE_CNT]
+            self.tiles_x = -(-self.width // self.tw)
+        else:
+            if _STRIP_OFF not in tags:
+                raise UnsupportedTiffError("page is neither tiled nor striped")
+            self.tw = self.width
+            self.th = tags.get(_ROWS_PER_STRIP, (self.height,))[0]
+            self.offsets = tags[_STRIP_OFF]
+            self.counts = tags[_STRIP_CNT]
+            self.tiles_x = 1
+        if tags.get(_PLANAR, (1,))[0] != 1:
+            raise UnsupportedTiffError("planar configuration 2 not supported")
+        if self.comp not in (1, 5, 7, 8, 32946):
+            raise UnsupportedTiffError(
+                f"compression {self.comp} not supported (JPEG2000/.svs needs "
+                "an external codec)"
+            )
+
+
+class PyramidalTiff:
+    """OpenSlide-like random access over a tiled/pyramidal TIFF.
+
+    API mirror of the reference's slide object (openslide.OpenSlide):
+    ``level_count``, ``dimensions``, ``level_dimensions``,
+    ``level_downsamples``, ``read_region((x0, y0), level, (w, h))`` with
+    level-0 location and level-space size, ``get_thumbnail(max_size)``.
+    """
+
+    def __init__(self, path: str, tile_cache: int = 256):
+        self._f = open(path, "rb")
+        head = self._f.read(4)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise UnsupportedTiffError("not a TIFF file")
+        (magic,) = struct.unpack(bo + "H", head[2:4])
+        if magic == 43:
+            raise UnsupportedTiffError("BigTIFF not supported")
+        if magic != 42:
+            raise UnsupportedTiffError("not a TIFF file")
+        self._bo = bo
+        (off,) = struct.unpack(bo + "I", self._f.read(4))
+        pages = []
+        while off:
+            tags, off = _read_ifd(self._f, off, bo)
+            if _W in tags and _H in tags:
+                pages.append(_Page(tags))
+        if not pages:
+            raise UnsupportedTiffError("no image pages")
+        pages.sort(key=lambda p: -p.width)
+        self._pages = pages
+        self.level_count = len(pages)
+        self.level_dimensions = [(p.width, p.height) for p in pages]
+        self.dimensions = self.level_dimensions[0]
+        w0 = pages[0].width
+        self.level_downsamples = [w0 / p.width for p in pages]
+        self._cache: Dict[Tuple[int, int], np.ndarray] = {}
+        self._cache_order: List[Tuple[int, int]] = []
+        self._cache_max = tile_cache
+
+    # -- tile decode ---------------------------------------------------------
+
+    def _decode(self, level: int, idx: int) -> np.ndarray:
+        key = (level, idx)
+        if key in self._cache:
+            return self._cache[key]
+        p = self._pages[level]
+        self._f.seek(p.offsets[idx])
+        data = self._f.read(p.counts[idx])
+        if p.comp == 7:
+            from PIL import Image
+
+            if p.jpeg_tables:
+                # merge the shared tables segment into the tile's stream:
+                # tables end with EOI (ffd9), tile starts with SOI (ffd8)
+                tables = p.jpeg_tables
+                data = tables[:-2] + data[2:]
+            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        else:
+            if p.comp in (8, 32946):
+                data = zlib.decompress(data)
+            elif p.comp == 5:
+                data = _lzw_decode(data)
+            # strip height may exceed the remaining rows on the last strip
+            rows = min(p.th, p.height - (idx // p.tiles_x) * p.th) if not p.tiled else p.th
+            want = p.tw * rows * p.spp
+            arr = np.frombuffer(data[:want], np.uint8).reshape(rows, p.tw, p.spp)
+            if p.predictor == 2:
+                arr = _undo_predictor(
+                    arr.reshape(rows, p.tw * p.spp).view(np.uint8)
+                    .reshape(rows, p.tw, p.spp)
+                )
+            if p.spp == 1:
+                arr = np.repeat(arr, 3, axis=-1)
+            arr = arr[..., :3]
+        if len(self._cache_order) >= self._cache_max:
+            old = self._cache_order.pop(0)
+            self._cache.pop(old, None)
+        self._cache[key] = arr
+        self._cache_order.append(key)
+        return arr
+
+    # -- region access -------------------------------------------------------
+
+    def read_region(self, location: Tuple[int, int], level: int, size: Tuple[int, int]) -> np.ndarray:
+        """RGB uint8 ``[h, w, 3]``. ``location`` is (x, y) in LEVEL-0 pixels,
+        ``size`` is (w, h) in LEVEL pixels (OpenSlide semantics; reference
+        consumes it the same way in Whole_Slide_Bag_FP,
+        CLAM/dataset_modules/dataset_h5.py:79-84). Out-of-bounds area is
+        zero-filled."""
+        p = self._pages[level]
+        ds = self.level_downsamples[level]
+        x0, y0 = int(location[0] / ds), int(location[1] / ds)
+        w, h = size
+        out = np.zeros((h, w, 3), np.uint8)
+        x1, y1 = min(x0 + w, p.width), min(y0 + h, p.height)
+        if x0 >= p.width or y0 >= p.height or x1 <= 0 or y1 <= 0:
+            return out
+        ty0, ty1 = max(y0, 0) // p.th, (y1 - 1) // p.th
+        tx0, tx1 = max(x0, 0) // p.tw, (x1 - 1) // p.tw
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                tile = self._decode(level, ty * p.tiles_x + tx)
+                gx, gy = tx * p.tw, ty * p.th  # tile origin in level coords
+                sx0, sy0 = max(x0, gx), max(y0, gy)
+                sx1 = min(x1, gx + tile.shape[1])
+                sy1 = min(y1, gy + tile.shape[0])
+                if sx1 <= sx0 or sy1 <= sy0:
+                    continue
+                out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = tile[
+                    sy0 - gy : sy1 - gy, sx0 - gx : sx1 - gx
+                ]
+        return out
+
+    def get_thumbnail(self, max_size: int = 2048) -> np.ndarray:
+        """Whole-slide RGB thumbnail from the smallest pyramid level,
+        decimated to ``max_size`` (the reference segments at a low
+        `seg_level` the same way, WholeSlideImage.py:144)."""
+        lv = self.level_count - 1
+        w, h = self.level_dimensions[lv]
+        img = self.read_region((0, 0), lv, (w, h))
+        step = max(1, int(np.ceil(max(w, h) / max_size)))
+        return img[::step, ::step]
+
+    def close(self):
+        self._f.close()
+
+
+class RasterSlide:
+    """Single-level fallback wrapping a plain raster image with the same API
+    (the round-2 L0 path: PNG/JPEG level-0 exports)."""
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        self._img = np.asarray(Image.open(path).convert("RGB"))
+        h, w = self._img.shape[:2]
+        self.level_count = 1
+        self.dimensions = (w, h)
+        self.level_dimensions = [(w, h)]
+        self.level_downsamples = [1.0]
+
+    def read_region(self, location, level, size):
+        x, y = location
+        w, h = size
+        out = np.zeros((h, w, 3), np.uint8)
+        ih, iw = self._img.shape[:2]
+        x1, y1 = min(x + w, iw), min(y + h, ih)
+        if x < iw and y < ih:
+            out[: y1 - y, : x1 - x] = self._img[y:y1, x:x1]
+        return out
+
+    def get_thumbnail(self, max_size: int = 2048) -> np.ndarray:
+        step = max(1, max(self._img.shape[:2]) // max_size)
+        return self._img[::step, ::step]
+
+    def close(self):
+        pass
+
+
+def open_slide(path: str):
+    """Open ``path`` as a pyramidal TIFF when possible, else as a flat
+    raster image (the reference calls openslide.open_slide unconditionally,
+    WholeSlideImage.py:32)."""
+    if path.lower().endswith((".tif", ".tiff", ".svs")):
+        try:
+            return PyramidalTiff(path)
+        except UnsupportedTiffError:
+            pass
+    return RasterSlide(path)
+
+
+# ---- writer (fixtures / exports) ---------------------------------------------
+
+
+def write_pyramidal_tiff(
+    path: str,
+    level0: np.ndarray,
+    levels: int = 2,
+    tile: int = 256,
+    compression: str = "raw",
+    quality: int = 90,
+) -> None:
+    """Write an RGB image as a classic tiled pyramidal TIFF (each level a 2x
+    box-downsample of the previous). ``compression``: 'raw' | 'jpeg' |
+    'deflate'. Used by the L0 tests as the synthetic-WSI fixture and usable
+    as a converter target for level-0 exports."""
+    assert level0.ndim == 3 and level0.shape[2] == 3 and level0.dtype == np.uint8
+    imgs = [level0]
+    for _ in range(1, levels):
+        prev = imgs[-1]
+        h, w = prev.shape[:2]
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        ds = prev[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, 3).mean((1, 3))
+        imgs.append(ds.astype(np.uint8))
+
+    bo = "<"
+    out = io.BytesIO()
+    out.write(b"II*\x00")
+    out.write(struct.pack(bo + "I", 0))  # first-IFD offset patched later
+    ifd_offsets = []
+
+    def _tile_bytes(img, ty, tx):
+        th = tw = tile
+        t = np.zeros((th, tw, 3), np.uint8)
+        sy, sx = ty * th, tx * tw
+        part = img[sy : sy + th, sx : sx + tw]
+        t[: part.shape[0], : part.shape[1]] = part
+        if compression == "jpeg":
+            from PIL import Image
+
+            b = io.BytesIO()
+            Image.fromarray(t).save(b, "JPEG", quality=quality)
+            return b.getvalue()
+        if compression == "deflate":
+            return zlib.compress(t.tobytes())
+        return t.tobytes()
+
+    for img in imgs:
+        h, w = img.shape[:2]
+        ntx, nty = -(-w // tile), -(-h // tile)
+        offs, cnts = [], []
+        for ty in range(nty):
+            for tx in range(ntx):
+                data = _tile_bytes(img, ty, tx)
+                offs.append(out.tell())
+                cnts.append(len(data))
+                out.write(data)
+                if out.tell() % 2:
+                    out.write(b"\x00")
+
+        comp_code = {"raw": 1, "jpeg": 7, "deflate": 8}[compression]
+        photo = 6 if compression == "jpeg" else 2
+        tags = [
+            (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [8, 8, 8]),
+            (_COMP, 3, [comp_code]), (_PHOTO, 3, [photo]),
+            (_SPP, 3, [3]), (_PLANAR, 3, [1]),
+            (_TILE_W, 3, [tile]), (_TILE_H, 3, [tile]),
+            (_TILE_OFF, 4, offs), (_TILE_CNT, 4, cnts),
+        ]
+        # out-of-line values first
+        tag_entries = []
+        for tag, typ, vals in sorted(tags):
+            fmt = _TYPE_FMT[typ]
+            size = _TYPE_SIZE[typ] * len(vals)
+            packed = struct.pack(bo + fmt * len(vals), *vals)
+            if size > 4:
+                voff = out.tell()
+                out.write(packed)
+                if out.tell() % 2:
+                    out.write(b"\x00")
+                entry = struct.pack(bo + "HHI", tag, typ, len(vals)) + struct.pack(
+                    bo + "I", voff
+                )
+            else:
+                entry = struct.pack(bo + "HHI", tag, typ, len(vals)) + packed.ljust(
+                    4, b"\x00"
+                )
+            tag_entries.append(entry)
+        ifd_offsets.append(out.tell())
+        out.write(struct.pack(bo + "H", len(tag_entries)))
+        for e in tag_entries:
+            out.write(e)
+        out.write(struct.pack(bo + "I", 0))  # next-IFD patched below
+
+    buf = bytearray(out.getvalue())
+    buf[4:8] = struct.pack(bo + "I", ifd_offsets[0])
+    for i in range(len(ifd_offsets) - 1):
+        # next-IFD pointer sits after the entry table of IFD i
+        ifd = ifd_offsets[i]
+        (n,) = struct.unpack(bo + "H", bytes(buf[ifd : ifd + 2]))
+        ptr = ifd + 2 + n * 12
+        buf[ptr : ptr + 4] = struct.pack(bo + "I", ifd_offsets[i + 1])
+    with open(path, "wb") as f:
+        f.write(buf)

@@ -1,0 +1,201 @@
+"""Pyramidal tiled-TIFF reader: IFD parsing, tile decode, region access, and
+the full image→coords→features→train pipeline on a 2-level synthetic WSI
+(reference slide handling: CLAM/wsi_core/WholeSlideImage.py:22-183,
+patch reads CLAM/dataset_modules/dataset_h5.py:79-84)."""
+
+import os
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from mhim_mil_tpu.preprocess.tiff import (  # noqa: E402
+    PyramidalTiff,
+    RasterSlide,
+    UnsupportedTiffError,
+    open_slide,
+    write_pyramidal_tiff,
+)
+
+
+def _smooth_img(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 0.19) % 256, (yy * 0.23) % 256, ((xx + yy) * 0.11) % 256], -1
+    )
+    return img.astype(np.uint8)
+
+
+@pytest.mark.parametrize("comp", ["raw", "deflate", "jpeg"])
+def test_roundtrip_region_reads(tmp_path, comp):
+    img = _smooth_img(700, 900)
+    path = str(tmp_path / f"s_{comp}.tiff")
+    write_pyramidal_tiff(path, img, levels=3, tile=128, compression=comp)
+    s = PyramidalTiff(path)
+    assert s.level_count == 3
+    assert s.dimensions == (900, 700)
+    assert s.level_dimensions[1] == (450, 350)
+    np.testing.assert_allclose(s.level_downsamples, [1.0, 2.0, 4.0])
+
+    # interior multi-tile region at level 0
+    r = s.read_region((200, 150), 0, (300, 256))
+    want = img[150:406, 200:500]
+    if comp == "jpeg":
+        assert np.abs(r.astype(int) - want.astype(int)).mean() < 3
+    else:
+        np.testing.assert_array_equal(r, want)
+
+    # partially out-of-bounds region zero-fills
+    r2 = s.read_region((800, 600), 0, (200, 200))
+    assert r2.shape == (200, 200, 3)
+    assert (r2[150:, 150:] == 0).all()
+
+    # level-1 read with level-0 location, level-space size
+    r1 = s.read_region((0, 0), 1, (64, 64))
+    assert r1.shape == (64, 64, 3)
+    if comp != "jpeg":
+        # level 1 is the 2x box mean of level 0
+        box = img[:128, :128].reshape(64, 2, 64, 2, 3).mean((1, 3)).astype(np.uint8)
+        assert np.abs(r1.astype(int) - box.astype(int)).max() <= 1
+
+    th = s.get_thumbnail(128)
+    assert max(th.shape[:2]) <= 128
+    s.close()
+
+
+def test_reads_pil_written_lzw_and_deflate_strips(tmp_path):
+    """Cross-validation against an independent writer: PIL emits striped
+    LZW / deflate TIFFs — the reader must decode both (strip path +
+    LZW early-change semantics)."""
+    img = _smooth_img(260, 300, seed=1)
+    for comp, tag in (("tiff_lzw", "lzw"), ("tiff_adobe_deflate", "defl")):
+        p = str(tmp_path / f"pil_{tag}.tiff")
+        Image.fromarray(img).save(p, compression=comp)
+        s = PyramidalTiff(p)
+        assert s.dimensions == (300, 260)
+        out = s.read_region((0, 0), 0, (300, 260))
+        np.testing.assert_array_equal(out, img)
+        s.close()
+
+
+def test_open_slide_fallback(tmp_path):
+    img = _smooth_img(64, 80)
+    p = str(tmp_path / "flat.png")
+    Image.fromarray(img).save(p)
+    s = open_slide(p)
+    assert isinstance(s, RasterSlide)
+    np.testing.assert_array_equal(s.read_region((10, 5), 0, (20, 20)),
+                                  img[5:25, 10:30])
+
+    # a non-TIFF byte blob with .tiff name raises cleanly then falls back
+    p2 = str(tmp_path / "bogus.tiff")
+    Image.fromarray(img).save(p2, format="PNG")
+    s2 = open_slide(p2)
+    assert isinstance(s2, RasterSlide)
+
+
+def _make_wsi_fixtures(root, n_per_class=2, seed=0):
+    """2-level tiled-TIFF 'slides': white background, pink tissue region;
+    class-1 tissue carries checkered texture (same signal construction as
+    test_preprocess_e2e)."""
+    rng = np.random.default_rng(seed)
+    labels = {}
+    os.makedirs(root, exist_ok=True)
+    for cls in (0, 1):
+        for i in range(n_per_class):
+            img = np.full((512, 512, 3), 245, np.uint8)
+            img[64:448, 64:448] = np.asarray([200, 120, 160], np.uint8)
+            img[64:448, 64:448] += rng.integers(0, 8, (384, 384, 3)).astype(np.uint8)
+            if cls == 1:
+                yy, xx = np.mgrid[64:448, 64:448]
+                checker = (((yy // 8) + (xx // 8)) % 2 * 90).astype(np.uint8)
+                img[64:448, 64:448, 1] = np.clip(
+                    img[64:448, 64:448, 1].astype(int) + checker, 0, 255
+                ).astype(np.uint8)
+            sid = f"wsi_c{cls}_{i}"
+            write_pyramidal_tiff(
+                os.path.join(root, f"{sid}.tiff"), img, levels=2, tile=128,
+                compression="raw",
+            )
+            labels[sid] = cls
+    return labels
+
+
+def test_pyramidal_wsi_to_training(tmp_path):
+    """The VERDICT r2 acceptance test: a synthetic 2-level tiled TIFF goes
+    image → segment → coords → features → training end-to-end through the
+    same CLI as flat rasters."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    src = tmp_path / "wsis"
+    out = tmp_path / "store"
+    labels = _make_wsi_fixtures(str(src))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import extract_features as cli
+
+    cli.main(
+        [
+            "--source", str(src), "--save_dir", str(out),
+            "--encoder", "resnet50_trunc", "--patch_size", "64",
+            "--step_size", "64", "--batch_size", "16", "--coverage", "0.5",
+            "--stitch",
+        ]
+    )
+    pt_files = sorted(os.listdir(out / "pt_files"))
+    assert len(pt_files) == len(labels)
+    assert os.path.exists(out / "stitches" / "wsi_c0_0_stitch.jpg")
+
+    # h5 coords are level-0 pixels on the 64px grid inside the tissue region
+    import h5py
+
+    with h5py.File(out / "h5_files" / "wsi_c0_0.h5") as f:
+        coords = np.asarray(f["coords"])
+        assert list(f["coords"].attrs["level_dim"]) == [512, 512]
+    assert (coords % 64 == 0).all()
+    assert coords.min() >= 0 and coords.max() <= 448
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.data.bucketing import batch_bags
+    from mhim_mil_tpu.data.readers import FeatureBagStore, build_cls_slides
+    from mhim_mil_tpu.engine.steps import make_eval_step, make_train_step
+    from mhim_mil_tpu.engine.train_state import create_train_state
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+    store = FeatureBagStore(str(out))
+    ids = sorted(labels)
+    slides = build_cls_slides(
+        store, ids, [labels[i] for i in ids], dataset="panda", with_pos=True
+    )
+    assert all(s["feats"].shape[1] == 1024 for s in slides)
+
+    cfg = load_config(
+        [], model="abmil", input_dim=1024, batch_size=2, num_epoch=30,
+        lr=3e-4, lr_sche="const", compute_dtype="float32",
+    )
+    model, family = build_model(cfg)
+    batches = [
+        {k: jnp.asarray(v) for k, v in b.items()}
+        for b in batch_bags(slides, cfg.batch_size, (64,), drop_last=False)
+    ]
+    lr = make_lr_schedule(cfg, len(batches))
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batches[0], lr)
+    step = make_train_step(cfg, model, family, len(batches))
+    for _ in range(30):
+        for b in batches:
+            state, m = step(state, b)
+    eval_step = make_eval_step(cfg, model, family)
+    correct = total = 0
+    for b in batches:
+        pred = np.asarray(eval_step(state, b)["logits"]).argmax(-1)
+        tgt = np.asarray(b["target"])
+        valid = np.asarray(b["bag_valid"])
+        correct += int(((pred == tgt) & valid).sum())
+        total += int(valid.sum())
+    assert correct / total >= 3 / 4, f"train acc {correct}/{total}"

@@ -38,7 +38,9 @@ from mhim_mil_tpu.preprocess.encoders import get_encoder  # noqa: E402
 from mhim_mil_tpu.preprocess.extract import (  # noqa: E402
     extract_features,
     save_feature_store,
+    slide_patch_reader,
 )
+from mhim_mil_tpu.preprocess.tiff import open_slide  # noqa: E402
 from mhim_mil_tpu.preprocess.segment import (  # noqa: E402
     generate_patch_coords,
     segment_tissue,
@@ -69,13 +71,19 @@ def slide_params(args, overrides):
     return p
 
 
-def write_stitch(out_dir, sid, img, coords, patch_size, max_side=1024):
+def write_stitch(out_dir, sid, img, coords, patch_size, max_side=1024,
+                 full_hw=None):
     """Downscaled overview with the kept patch grid drawn (reference
-    StitchCoords/DrawMap, CLAM/wsi_core/wsi_utils.py:163-207)."""
+    StitchCoords/DrawMap, CLAM/wsi_core/wsi_utils.py:163-207). ``full_hw``
+    gives the level-0 size when ``img`` is already a thumbnail (pyramidal
+    slides) so the level-0 coords land correctly."""
     from PIL import Image
 
-    scale = max(1, int(np.ceil(max(img.shape[:2]) / max_side)))
-    canvas = np.ascontiguousarray(img[::scale, ::scale].copy())
+    if full_hw is None:
+        full_hw = img.shape[:2]
+    pre = max(1, int(round(full_hw[0] / img.shape[0])))
+    scale = max(1, int(np.ceil(max(img.shape[:2]) / max_side))) * pre
+    canvas = np.ascontiguousarray(img[:: scale // pre, :: scale // pre].copy())
     ps = max(patch_size // scale, 1)
     for x, y in coords // scale:
         canvas[y : y + ps, x : x + 1] = 0
@@ -89,24 +97,26 @@ def write_stitch(out_dir, sid, img, coords, patch_size, max_side=1024):
 
 
 def process_slide(path, fn, norm, args, params=None):
-    from PIL import Image
-
     p = params or {k: getattr(args, k) for k in PARAM_COLS}
-    img = np.asarray(Image.open(path).convert("RGB"))
-    # Segment on a bounded thumbnail (reference segments at a low pyramid
-    # level, WholeSlideImage.py:91-183).
-    thumb_max = 2048
-    scale = max(1, max(img.shape[:2]) // thumb_max)
-    thumb = img[::scale, ::scale]
+    # Pyramidal tiled TIFFs open through the native IFD reader (tile-level
+    # random access, level-0 never materialized); flat rasters fall back to
+    # a single-level wrapper (preprocess/tiff.py open_slide — the reference
+    # calls openslide.open_slide the same way, WholeSlideImage.py:32).
+    slide = open_slide(path)
+    w0, h0 = slide.dimensions
+    # Segment on a low pyramid level / bounded thumbnail (reference segments
+    # at seg_level, WholeSlideImage.py:91-183).
+    thumb = slide.get_thumbnail(2048)
     mask = segment_tissue(thumb, sthresh=p["sthresh"])
     grid = generate_patch_coords(
-        mask, img.shape[:2], p["patch_size"], p["step_size"], p["coverage"]
+        mask, (h0, w0), p["patch_size"], p["step_size"], p["coverage"]
     )
     coords = grid["coords"]
     if len(coords) == 0:
         return None, 0
     feats = extract_features(
-        fn, img, coords, p["patch_size"], args.batch_size, norm
+        fn, slide_patch_reader(slide, p["patch_size"]), coords,
+        p["patch_size"], args.batch_size, norm,
     )
     sid = os.path.splitext(os.path.basename(path))[0]
     save_feature_store(
@@ -117,14 +127,15 @@ def process_slide(path, fn, norm, args, params=None):
         attrs={
             "patch_size": p["patch_size"],
             "downsample": grid["downsample"],
-            "level_dim": np.asarray([img.shape[1], img.shape[0]]),
+            "level_dim": np.asarray([w0, h0]),
         },
     )
     if args.stitch:
         write_stitch(
-            os.path.join(args.save_dir, "stitches"), sid, img, coords,
-            p["patch_size"],
+            os.path.join(args.save_dir, "stitches"), sid, thumb, coords,
+            p["patch_size"], full_hw=(h0, w0),
         )
+    slide.close()
     return sid, len(coords)
 
 
