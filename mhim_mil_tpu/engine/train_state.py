@@ -57,6 +57,10 @@ def make_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     tx = optax.chain(*parts)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.accumulation_steps)
+    # NOTE: optax.flatten looks attractive here (per-leaf Adam emits one tiny
+    # kernel per tensor) but measured SLOWER end-to-end on TPU: raveling
+    # every parameter forces tiled→linear relayouts that serialize against
+    # the backward pass (fused step 20.6 → 26.4 ms at the bench geometry).
     return tx
 
 

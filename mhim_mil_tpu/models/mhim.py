@@ -391,10 +391,9 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
         mm = mm_sche(state.step) if mm_sche is not None else cfg.mm
         new_teacher = state.teacher_params
         if not is_pure:
-            new_teacher = jax.tree.map(
-                lambda t, s: t * mm + s.astype(t.dtype) * (1.0 - mm),
-                state.teacher_params, new_params,
-            )
+            from ..engine.steps import ema_update
+
+            new_teacher = ema_update(state.teacher_params, new_params, mm)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

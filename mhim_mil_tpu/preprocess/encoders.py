@@ -44,6 +44,8 @@ ENCODER_DIM = {
     "resnet50_trunc": 1024,
     "r18": 256,
     "uni_v1": 1024,
+    "chief": 768,
+    "conch_v1": 768,
 }
 
 # Reference-compatible checkpoint discovery (builder.py:30-72 uses
@@ -228,7 +230,7 @@ class _ViTBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(int(d * self.mlp_ratio), name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch-exact erf GELU
         y = nn.Dense(d, name="fc2")(y)
         if self.layer_scale:
             y = y * self.param("ls2", nn.initializers.ones, (d,))
@@ -281,6 +283,319 @@ def import_vit(sd: Dict[str, Any]) -> Dict[str, Any]:
             blk["ls1"] = _t(sd[f"{base}.ls1.gamma"])
             blk["ls2"] = _t(sd[f"{base}.ls2.gamma"])
         params[f"block{i}"] = blk
+        i += 1
+    return {"params": params}
+
+
+class ConvStem(nn.Module):
+    """CHIEF's convolutional patch embed (reference CLAM/models/chief.py:5-43):
+    two stride-2 conv+BN+ReLU stages (3→d/8→d/4) then a 1x1 conv to the embed
+    dim, flattened to tokens and LayerNormed."""
+
+    embed_dim: int = 96
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3]
+        d = self.embed_dim
+        x = nn.relu(_BN(name="bn0")(_conv(d // 8, 3, 2, name="conv0")(x)))
+        x = nn.relu(_BN(name="bn1")(_conv(d // 4, 3, 2, name="conv1")(x)))
+        x = nn.Conv(d, (1, 1), use_bias=True, name="conv2")(x)
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h * w, d)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x), (h, w)
+
+
+def _rel_pos_index(w: int) -> np.ndarray:
+    """Swin relative-position index over a w×w window (host-side table)."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, w², w²]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return rel[..., 0] * (2 * w - 1) + rel[..., 1]  # [w², w²]
+
+
+class _WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):  # x: [nW*B, w², C]
+        w2 = self.window * self.window
+        h = self.heads
+        dh = self.dim // h
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(-1, w2, 3, h, dh), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q * dh ** -0.5, k)
+        table = self.param(
+            "rel_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window - 1) ** 2, h),
+        )
+        idx = _rel_pos_index(self.window).reshape(-1)
+        bias = table[idx].reshape(w2, w2, h).transpose(2, 0, 1)
+        sim = sim + bias[None]
+        if attn_mask is not None:  # [nW, w², w²] shifted-window mask
+            nw = attn_mask.shape[0]
+            sim = sim.reshape(-1, nw, h, w2, w2) + attn_mask[None, :, None]
+            sim = sim.reshape(-1, h, w2, w2)
+        a = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bnhd", a, v).reshape(-1, w2, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class _SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, hw):  # x: [B, L, C]
+        H, W = hw
+        b, L, c = x.shape
+        w = self.window
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(b, H, W, c)
+        if self.shift:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+        # window partition
+        x = x.reshape(b, H // w, w, W // w, w, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(-1, w * w, c)
+        attn_mask = None
+        if self.shift:
+            # standard shifted-window mask: tokens from different pre-shift
+            # regions must not attend to each other
+            img = np.zeros((H, W), np.int32)
+            cnt = 0
+            for hs in (slice(0, -w), slice(-w, -self.shift), slice(-self.shift, None)):
+                for ws in (slice(0, -w), slice(-w, -self.shift), slice(-self.shift, None)):
+                    img[hs, ws] = cnt
+                    cnt += 1
+            mw = img.reshape(H // w, w, W // w, w).transpose(0, 2, 1, 3).reshape(-1, w * w)
+            diff = mw[:, :, None] != mw[:, None, :]
+            attn_mask = jnp.where(jnp.asarray(diff), -100.0, 0.0)
+        x = _WindowAttention(self.dim, self.heads, w, name="attn")(x, attn_mask)
+        x = x.reshape(b, H // w, W // w, w, w, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, H, W, c)
+        if self.shift:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, L, c)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
+        y = nn.Dense(self.dim, name="fc2")(nn.gelu(y, approximate=False))
+        return x + y
+
+
+class _PatchMerging(nn.Module):
+    dim: int  # input dim
+
+    @nn.compact
+    def __call__(self, x, hw):  # [B, L, C] -> [B, L/4, 2C]
+        H, W = hw
+        b, _, c = x.shape
+        x = x.reshape(b, H // 2, 2, W // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
+        # timm concat order: x0=(0,0), x1=(1,0), x2=(0,1), x3=(1,1) over
+        # (row, col) — i.e. [..., col, row, c] flattened as row-major of
+        # (col-offset, row-offset)
+        x = x.reshape(b, (H // 2) * (W // 2), 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinChief(nn.Module):
+    """CHIEF patch encoder: Swin-T (window 7, depths 2/2/6/2) with the
+    ConvStem patch embed, mean-pooled to a 768-d feature (reference
+    builder.py:101-110: timm ``swin_tiny_patch4_window7_224`` with
+    ``embed_layer=ConvStem`` and ``head=Identity``). Input must be 224×224
+    (the stem asserts the same upstream, chief.py:37-38)."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+
+    @nn.compact
+    def __call__(self, x):  # [B, 224, 224, 3] normalized
+        x, (h, w) = ConvStem(self.embed_dim, name="patch_embed")(x)
+        dim = self.embed_dim
+        for si, (depth, heads) in enumerate(zip(self.depths, self.heads)):
+            if si > 0:
+                x = _PatchMerging(dim, name=f"merge{si - 1}")(x, (h, w))
+                h, w, dim = h // 2, w // 2, dim * 2
+            for bi in range(depth):
+                shift = 0 if (bi % 2 == 0 or h <= self.window) else self.window // 2
+                x = _SwinBlock(
+                    dim, heads, self.window, shift, name=f"stage{si}_block{bi}"
+                )(x, (h, w))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return jnp.mean(x, axis=1)  # timm avg pool over tokens
+
+
+def import_swin_chief(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """timm Swin-T (+CHIEF ConvStem) state_dict → SwinChief variables.
+    Accepts both timm layouts for the inter-stage patch merging: old
+    (``layers.{i}.downsample`` at stage end) and new
+    (``layers.{i+1}.downsample`` at stage start)."""
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ConvStem: proj.0 conv, proj.1 bn, proj.3 conv, proj.4 bn, proj.6 conv1x1
+    pe: Dict[str, Any] = {
+        "conv0": {"kernel": _t(sd["patch_embed.proj.0.weight"]).transpose(2, 3, 1, 0)},
+        "bn0": {"scale": _t(sd["patch_embed.proj.1.weight"]),
+                "bias": _t(sd["patch_embed.proj.1.bias"])},
+        "conv1": {"kernel": _t(sd["patch_embed.proj.3.weight"]).transpose(2, 3, 1, 0)},
+        "bn1": {"scale": _t(sd["patch_embed.proj.4.weight"]),
+                "bias": _t(sd["patch_embed.proj.4.bias"])},
+        "conv2": {"kernel": _t(sd["patch_embed.proj.6.weight"]).transpose(2, 3, 1, 0),
+                  "bias": _t(sd["patch_embed.proj.6.bias"])},
+        "norm": {"scale": _t(sd["patch_embed.norm.weight"]),
+                 "bias": _t(sd["patch_embed.norm.bias"])},
+    }
+    stats["patch_embed"] = {
+        "bn0": {"mean": _t(sd["patch_embed.proj.1.running_mean"]),
+                "var": _t(sd["patch_embed.proj.1.running_var"])},
+        "bn1": {"mean": _t(sd["patch_embed.proj.4.running_mean"]),
+                "var": _t(sd["patch_embed.proj.4.running_var"])},
+    }
+    params["patch_embed"] = pe
+
+    n_stages = sum(1 for k in sd if k.endswith(".blocks.0.norm1.weight") and k.startswith("layers."))
+    for si in range(n_stages):
+        bi = 0
+        while f"layers.{si}.blocks.{bi}.norm1.weight" in sd:
+            base = f"layers.{si}.blocks.{bi}"
+            params[f"stage{si}_block{bi}"] = {
+                "norm1": {"scale": _t(sd[f"{base}.norm1.weight"]),
+                          "bias": _t(sd[f"{base}.norm1.bias"])},
+                "attn": {
+                    "qkv": {"kernel": _t(sd[f"{base}.attn.qkv.weight"]).T,
+                            "bias": _t(sd[f"{base}.attn.qkv.bias"])},
+                    "proj": {"kernel": _t(sd[f"{base}.attn.proj.weight"]).T,
+                             "bias": _t(sd[f"{base}.attn.proj.bias"])},
+                    "rel_bias_table": _t(
+                        sd[f"{base}.attn.relative_position_bias_table"]
+                    ),
+                },
+                "norm2": {"scale": _t(sd[f"{base}.norm2.weight"]),
+                          "bias": _t(sd[f"{base}.norm2.bias"])},
+                "fc1": {"kernel": _t(sd[f"{base}.mlp.fc1.weight"]).T,
+                        "bias": _t(sd[f"{base}.mlp.fc1.bias"])},
+                "fc2": {"kernel": _t(sd[f"{base}.mlp.fc2.weight"]).T,
+                        "bias": _t(sd[f"{base}.mlp.fc2.bias"])},
+            }
+            bi += 1
+        # patch merging after stage si (old timm) or before stage si+1 (new)
+        for src in (f"layers.{si}.downsample", f"layers.{si + 1}.downsample"):
+            if f"{src}.reduction.weight" in sd and f"merge{si}" not in params:
+                params[f"merge{si}"] = {
+                    "norm": {"scale": _t(sd[f"{src}.norm.weight"]),
+                             "bias": _t(sd[f"{src}.norm.bias"])},
+                    "reduction": {"kernel": _t(sd[f"{src}.reduction.weight"]).T},
+                }
+                break
+    params["norm"] = {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])}
+    return {"params": params, "batch_stats": stats}
+
+
+class CLIPVisualTower(nn.Module):
+    """CLIP-style ViT visual tower (conch_v1: CLIP ViT-B/16, reference
+    builder.py:91-97 uses CONCH's ``encode_image(proj_contrast=False,
+    normalize=False)`` — the pooled image feature *before* the contrastive
+    projection). open_clip architecture: biasless conv patch embed, class
+    embedding + positional embedding, pre-transformer LN, resblocks with
+    torch-MultiheadAttention parameterization, post-LN on the cls token."""
+
+    embed_dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    patch: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] normalized
+        b = x.shape[0]
+        d = self.embed_dim
+        x = nn.Conv(
+            d, (self.patch, self.patch), strides=(self.patch, self.patch),
+            padding="VALID", use_bias=False, name="conv1",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, d)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02), (d,))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, d)), x], axis=1)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.02),
+            (1 + gh * gw, d),
+        )
+        x = x + pos[None]
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        for i in range(self.depth):
+            x = _CLIPBlock(d, self.heads, name=f"resblock{i}")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+
+
+class _CLIPBlock(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        d, h = self.dim, self.heads
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        qkv = nn.Dense(3 * d, name="in_proj")(y)
+        q, k, v = jnp.split(qkv.reshape(*y.shape[:2], 3, h, d // h), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        a = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q * (d // h) ** -0.5, k), axis=-1
+        )
+        y = jnp.einsum("bhnm,bhmd->bnhd", a, v).reshape(*x.shape)
+        x = x + nn.Dense(d, name="out_proj")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        y = nn.Dense(4 * d, name="c_fc")(y)
+        y = nn.gelu(y, approximate=False)
+        return x + nn.Dense(d, name="c_proj")(y)
+
+
+def import_clip_visual(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """open_clip ``visual.*`` state_dict → CLIPVisualTower params. CoCa-style
+    CONCH checkpoints that carry a timm trunk (``visual.trunk.*``) instead
+    route through :func:`import_vit` in the registry; attentional-pooler
+    variants raise with the offending keys named."""
+    sd = {k[7:] if k.startswith("visual.") else k: v for k, v in sd.items()}
+    bad = [k for k in sd if k.startswith("attn_pool")]
+    if bad:
+        raise NotImplementedError(
+            f"CoCa attentional-pooler checkpoints not supported (keys {bad[:2]}…); "
+            "supported subset: classic CLIP visual towers and timm-trunk ViTs"
+        )
+    params: Dict[str, Any] = {
+        "conv1": {"kernel": _t(sd["conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _t(sd["class_embedding"]).reshape(-1),
+        "positional_embedding": _t(sd["positional_embedding"]),
+        "ln_pre": {"scale": _t(sd["ln_pre.weight"]), "bias": _t(sd["ln_pre.bias"])},
+        "ln_post": {"scale": _t(sd["ln_post.weight"]), "bias": _t(sd["ln_post.bias"])},
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        base = f"transformer.resblocks.{i}"
+        params[f"resblock{i}"] = {
+            "ln_1": {"scale": _t(sd[f"{base}.ln_1.weight"]),
+                     "bias": _t(sd[f"{base}.ln_1.bias"])},
+            "in_proj": {"kernel": _t(sd[f"{base}.attn.in_proj_weight"]).T,
+                        "bias": _t(sd[f"{base}.attn.in_proj_bias"])},
+            "out_proj": {"kernel": _t(sd[f"{base}.attn.out_proj.weight"]).T,
+                         "bias": _t(sd[f"{base}.attn.out_proj.bias"])},
+            "ln_2": {"scale": _t(sd[f"{base}.ln_2.weight"]),
+                     "bias": _t(sd[f"{base}.ln_2.bias"])},
+            "c_fc": {"kernel": _t(sd[f"{base}.mlp.c_fc.weight"]).T,
+                     "bias": _t(sd[f"{base}.mlp.c_fc.bias"])},
+            "c_proj": {"kernel": _t(sd[f"{base}.mlp.c_proj.weight"]).T,
+                       "bias": _t(sd[f"{base}.mlp.c_proj.bias"])},
+        }
         i += 1
     return {"params": params}
 
@@ -426,12 +741,95 @@ def get_encoder(
         fn = jax.jit(partial(model.apply, variables))
         return fn, ENCODER_NORM[name]
 
-    if name in ("conch_v1", "chief", "sd_vae"):
-        env = ENCODER_CKPT_ENV.get(name, "HF_TOKEN")
+    if name == "chief":
+        # Swin-T + ConvStem → 768-d (reference builder.py:101-110)
+        if not ckpt_path:
+            raise NotImplementedError(
+                "encoder 'chief' needs its downloaded checkpoint: set "
+                "CHIEF_CKPT_PATH or pass ckpt_path (reference builder.py:30-72 "
+                "asserts the same)."
+            )
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]  # reference unwraps td['model'], builder.py:110
+        sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
+        # geometry from the state dict (Swin-T defaults: 96, 2/2/6/2, 3/6/12/24)
+        embed = int(_t(sd["patch_embed.proj.6.weight"]).shape[0])
+        depths, heads = [], []
+        si = 0
+        while f"layers.{si}.blocks.0.norm1.weight" in sd:
+            bi = 0
+            while f"layers.{si}.blocks.{bi}.norm1.weight" in sd:
+                bi += 1
+            depths.append(bi)
+            heads.append(
+                int(_t(sd[f"layers.{si}.blocks.0.attn.relative_position_bias_table"]).shape[1])
+            )
+            si += 1
+        win = int(
+            round(
+                (_t(sd["layers.0.blocks.0.attn.relative_position_bias_table"]).shape[0]
+                 ** 0.5 + 1) / 2
+            )
+        )
+        model = SwinChief(
+            embed_dim=embed, depths=tuple(depths), heads=tuple(heads), window=win
+        )
+        variables = jax.tree.map(jnp.asarray, import_swin_chief(sd))
+        fn = jax.jit(partial(model.apply, variables))
+        return fn, ENCODER_NORM[name]
+
+    if name == "conch_v1":
+        # CLIP ViT-B/16 visual tower, pooled pre-projection feature
+        # (reference builder.py:91-97)
+        if not ckpt_path:
+            raise NotImplementedError(
+                "encoder 'conch_v1' needs its downloaded checkpoint: set "
+                "CONCH_CKPT_PATH or pass ckpt_path (reference builder.py:30-72 "
+                "asserts the same)."
+            )
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        if any(k.startswith(("visual.trunk.", "trunk.")) for k in sd):
+            # CoCa-style CONCH: timm ViT trunk — reuse the golden ViT importer
+            sd = {
+                k.split("trunk.", 1)[1]: v for k, v in sd.items() if "trunk." in k
+            }
+            dim = int(sd["pos_embed"].shape[-1])
+            depth = sum(1 for k in sd if k.endswith(".norm1.weight"))
+            patch = int(sd["patch_embed.proj.weight"].shape[-1])
+            has_ls = any(k.endswith("ls1.gamma") for k in sd)
+            model = ViTEncoder(
+                embed_dim=dim, depth=depth, heads=max(dim // 64, 1),
+                patch=patch, layer_scale=has_ls,
+            )
+            variables = jax.tree.map(jnp.asarray, import_vit(sd))
+        else:
+            sd = {k: v for k, v in sd.items() if k.startswith("visual.") or not any(
+                k.startswith(p) for p in ("text.", "logit_scale", "token_emb")
+            )}
+            dim = int(_t(sd.get("visual.class_embedding",
+                                sd.get("class_embedding"))).reshape(-1).shape[0])
+            probe = {k.split("visual.", 1)[-1]: v for k, v in sd.items()}
+            depth = sum(
+                1 for k in probe if k.endswith(".ln_1.weight")
+            )
+            patch = int(_t(probe["conv1.weight"]).shape[-1])
+            model = CLIPVisualTower(
+                embed_dim=dim, depth=depth, heads=max(dim // 64, 1), patch=patch
+            )
+            variables = jax.tree.map(jnp.asarray, import_clip_visual(sd))
+        fn = jax.jit(partial(model.apply, variables))
+        return fn, ENCODER_NORM[name]
+
+    if name == "sd_vae":
         raise NotImplementedError(
-            f"encoder '{name}' needs an externally downloaded checkpoint "
-            f"({env}) and its flax port is not bundled; use 'resnet50_trunc' "
-            "/ 'uni_v1' or consume the published CPathPatchFeature stores "
-            "(reference README:61-64)."
+            "encoder 'sd_vae' (Stable-Diffusion VAE latents) is not bundled; "
+            "use 'resnet50_trunc' / 'uni_v1' / 'chief' / 'conch_v1' or consume "
+            "the published CPathPatchFeature stores (reference README:61-64)."
         )
     raise NotImplementedError(f"model {name} not implemented")

@@ -270,3 +270,277 @@ def test_uni_v1_registry(tmp_path):
         ref = tmodel(x).numpy()
     out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(out, ref, atol=8e-4, rtol=1e-3)
+
+
+# ---- chief (Swin-T + ConvStem) golden parity ---------------------------------
+
+
+class _TorchConvStem(tnn.Module):
+    """reference CLAM/models/chief.py:5-43 (timm-named ``patch_embed``)."""
+
+    def __init__(self, embed_dim=96):
+        super().__init__()
+        self.proj = tnn.Sequential(
+            tnn.Conv2d(3, embed_dim // 8, 3, 2, 1, bias=False),
+            tnn.BatchNorm2d(embed_dim // 8),
+            tnn.ReLU(inplace=True),
+            tnn.Conv2d(embed_dim // 8, embed_dim // 4, 3, 2, 1, bias=False),
+            tnn.BatchNorm2d(embed_dim // 4),
+            tnn.ReLU(inplace=True),
+            tnn.Conv2d(embed_dim // 4, embed_dim, 1),
+        )
+        self.norm = tnn.LayerNorm(embed_dim, eps=1e-5)
+
+    def forward(self, x):
+        x = self.proj(x)
+        x = x.flatten(2).transpose(1, 2)
+        return self.norm(x)
+
+
+class _TorchWindowAttn(tnn.Module):
+    def __init__(self, dim, heads, window):
+        super().__init__()
+        self.qkv = tnn.Linear(dim, 3 * dim)
+        self.proj = tnn.Linear(dim, dim)
+        self.relative_position_bias_table = tnn.Parameter(
+            torch.randn((2 * window - 1) ** 2, heads) * 0.02
+        )
+        self.dim, self.heads, self.window = dim, heads, window
+
+    def forward(self, x, mask=None):
+        from mhim_mil_tpu.preprocess.encoders import _rel_pos_index
+
+        Bn, L, C = x.shape
+        h = self.heads
+        dh = C // h
+        qkv = self.qkv(x).reshape(Bn, L, 3, h, dh).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        sim = (q * dh ** -0.5) @ k.transpose(-1, -2)
+        idx = torch.as_tensor(_rel_pos_index(self.window).reshape(-1))
+        bias = self.relative_position_bias_table[idx].reshape(L, L, h)
+        sim = sim + bias.permute(2, 0, 1)[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            sim = sim.view(-1, nW, h, L, L) + mask[None, :, None]
+            sim = sim.view(-1, h, L, L)
+        a = torch.softmax(sim, -1)
+        return self.proj((a @ v).transpose(1, 2).reshape(Bn, L, C))
+
+
+class _TorchSwinBlock(tnn.Module):
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-5)
+        self.attn = _TorchWindowAttn(dim, heads, window)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-5)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = tnn.Linear(4 * dim, dim)
+        self.window, self.shift = window, shift
+
+    def forward(self, x, hw):
+        H, W = hw
+        B, L, C = x.shape
+        w = self.window
+        shortcut = x
+        x = self.norm1(x).view(B, H, W, C)
+        if self.shift:
+            x = torch.roll(x, (-self.shift, -self.shift), (1, 2))
+        x = x.view(B, H // w, w, W // w, w, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(-1, w * w, C)
+        mask = None
+        if self.shift:
+            img = torch.zeros(H, W, dtype=torch.long)
+            cnt = 0
+            for hs in (slice(0, -w), slice(-w, -self.shift), slice(-self.shift, None)):
+                for ws in (slice(0, -w), slice(-w, -self.shift), slice(-self.shift, None)):
+                    img[hs, ws] = cnt
+                    cnt += 1
+            mw = img.view(H // w, w, W // w, w).permute(0, 2, 1, 3).reshape(-1, w * w)
+            mask = torch.where(mw[:, :, None] != mw[:, None, :], -100.0, 0.0)
+        x = self.attn(x, mask)
+        x = x.view(B, H // w, W // w, w, w, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, H, W, C)
+        if self.shift:
+            x = torch.roll(x, (self.shift, self.shift), (1, 2))
+        x = shortcut + x.view(B, L, C)
+        return x + self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class _TorchPatchMerge(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = tnn.LayerNorm(4 * dim, eps=1e-5)
+        self.reduction = tnn.Linear(4 * dim, 2 * dim, bias=False)
+
+    def forward(self, x, hw):
+        H, W = hw
+        B, L, C = x.shape
+        x = x.view(B, H, W, C)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = torch.cat([x0, x1, x2, x3], -1).view(B, L // 4, 4 * C)
+        return self.reduction(self.norm(x))
+
+
+class _TorchSwinChief(tnn.Module):
+    """timm-named Swin + ConvStem, old-timm layout (downsample at stage end)."""
+
+    def __init__(self, embed=16, depths=(1, 1, 2, 1), heads=(1, 2, 4, 8), window=7):
+        super().__init__()
+        self.patch_embed = _TorchConvStem(embed)
+        self.layers = tnn.ModuleList()
+        dim = embed
+        for si, (d, h) in enumerate(zip(depths, heads)):
+            stage = tnn.Module()
+            stage.blocks = tnn.ModuleList()
+            res = 56 // (2 ** si)
+            for bi in range(d):
+                shift = 0 if (bi % 2 == 0 or res <= window) else window // 2
+                stage.blocks.append(_TorchSwinBlock(dim, h, window, shift))
+            if si < len(depths) - 1:
+                stage.downsample = _TorchPatchMerge(dim)
+            self.layers.append(stage)
+            if si < len(depths) - 1:
+                dim *= 2
+        self.norm = tnn.LayerNorm(dim, eps=1e-5)
+        self.depths, self.window = depths, window
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        H = W = 56
+        for si, stage in enumerate(self.layers):
+            for blk in stage.blocks:
+                x = blk(x, (H, W))
+            if hasattr(stage, "downsample"):
+                x = stage.downsample(x, (H, W))
+                H, W = H // 2, W // 2
+        return self.norm(x).mean(1)
+
+
+def test_swin_chief_golden():
+    """chief = Swin-T + ConvStem (reference builder.py:101-110, chief.py:5):
+    timm-named torch execution == flax import (stem BN, window attention +
+    relative bias, shifted windows, patch merging, final norm + avg pool)."""
+    from mhim_mil_tpu.preprocess.encoders import SwinChief, import_swin_chief
+
+    torch.manual_seed(0)
+    tmodel = _TorchSwinChief().eval()
+    _randomize_bn_stats(tmodel, 3)
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+
+    fmodel = SwinChief(embed_dim=16, depths=(1, 1, 2, 1), heads=(1, 2, 4, 8))
+    variables = jax.tree.map(
+        jnp.asarray, import_swin_chief(tmodel.state_dict())
+    )
+    out = fmodel.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_chief_registry(tmp_path):
+    """get_encoder('chief') loads the reference ``{'model': sd}`` checkpoint
+    format and infers the geometry from the state dict."""
+    from mhim_mil_tpu.preprocess.encoders import get_encoder
+
+    torch.manual_seed(1)
+    tmodel = _TorchSwinChief().eval()
+    _randomize_bn_stats(tmodel, 4)
+    p = tmp_path / "chief.pth"
+    torch.save({"model": tmodel.state_dict()}, p)
+    fn, norm = get_encoder("chief", str(p))
+    assert norm == "imagenet"
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+# ---- conch_v1 (CLIP visual tower) golden parity ------------------------------
+
+
+class _TorchCLIPBlock(tnn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.ln_1 = tnn.LayerNorm(d, eps=1e-5)
+        self.attn = tnn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = tnn.LayerNorm(d, eps=1e-5)
+        self.mlp = tnn.Module()
+        self.mlp.c_fc = tnn.Linear(d, 4 * d)
+        self.mlp.c_proj = tnn.Linear(4 * d, d)
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        y, _ = self.attn(y, y, y, need_weights=False)
+        x = x + y
+        y = self.mlp.c_proj(torch.nn.functional.gelu(self.mlp.c_fc(self.ln_2(x))))
+        return x + y
+
+
+class _TorchCLIPVisual(tnn.Module):
+    """open_clip-named visual tower (``visual.*`` keys added by the test)."""
+
+    def __init__(self, d=64, depth=2, heads=1, patch=16):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, d, patch, patch, bias=False)
+        self.class_embedding = tnn.Parameter(torch.randn(d) * 0.02)
+        self.positional_embedding = tnn.Parameter(torch.randn(197, d) * 0.02)
+        self.ln_pre = tnn.LayerNorm(d, eps=1e-5)
+        self.transformer = tnn.Module()
+        self.transformer.resblocks = tnn.ModuleList(
+            [_TorchCLIPBlock(d, heads) for _ in range(depth)]
+        )
+        self.ln_post = tnn.LayerNorm(d, eps=1e-5)
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.conv1(x).flatten(2).transpose(1, 2)
+        cls = self.class_embedding[None, None].expand(B, 1, -1)
+        x = torch.cat([cls, x], 1) + self.positional_embedding[None]
+        x = self.ln_pre(x)
+        for b in self.transformer.resblocks:
+            x = b(x)
+        return self.ln_post(x[:, 0])
+
+
+def test_clip_visual_golden(tmp_path):
+    """conch_v1 = CLIP ViT-B/16 visual tower without the contrastive
+    projection (reference builder.py:91-97 encode_image(proj_contrast=False,
+    normalize=False)): open_clip-named torch execution == flax import,
+    including the torch-MultiheadAttention in_proj/out_proj mapping."""
+    from mhim_mil_tpu.preprocess.encoders import get_encoder
+
+    torch.manual_seed(2)
+    tmodel = _TorchCLIPVisual().eval()
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    sd = {f"visual.{k}": v for k, v in tmodel.state_dict().items()}
+    p = tmp_path / "conch.pt"
+    torch.save(sd, p)
+    fn, norm = get_encoder("conch_v1", str(p))
+    assert norm == "openai_clip"
+    out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_conch_trunk_naming_routes_to_vit(tmp_path):
+    """CoCa-style CONCH checkpoints carry a timm trunk (visual.trunk.*):
+    the registry must route them through the golden ViT importer."""
+    from mhim_mil_tpu.preprocess.encoders import get_encoder
+
+    torch.manual_seed(3)
+    tmodel = _TorchViT(d=64, depth=2, heads=1, ls=False).eval()
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    sd = {f"visual.trunk.{k}": v for k, v in tmodel.state_dict().items()}
+    p = tmp_path / "conch_coca.pt"
+    torch.save(sd, p)
+    fn, _ = get_encoder("conch_v1", str(p))
+    out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=8e-4, rtol=1e-3)
