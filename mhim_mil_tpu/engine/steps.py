@@ -160,9 +160,11 @@ def ema_update(teacher_params, student_params, mm):
     """Teacher EMA: ``t ← mm·t + (1−mm)·s``
     (reference: engines/base_engine.py:155-167, inline per-parameter walk).
 
-    Per-leaf on purpose: raveling the tree into one vector forces tiled→
-    linear relayouts of every tensor, measured slower end-to-end than the
-    per-leaf walk inside the fused step."""
+    Per-leaf on purpose: both full raveling (optax.flatten-style) and
+    packing just the small leaves into one vector were measured SLOWER
+    end-to-end on TPU — the ravel/concat relayouts serialize against the
+    backward pass and cost more than the per-leaf kernel overhead they
+    remove."""
     return jax.tree.map(
         lambda t, s: t * mm + s.astype(t.dtype) * (1.0 - mm),
         teacher_params, student_params,

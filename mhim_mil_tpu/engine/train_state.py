@@ -13,6 +13,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -57,10 +58,11 @@ def make_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     tx = optax.chain(*parts)
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.accumulation_steps)
-    # NOTE: optax.flatten looks attractive here (per-leaf Adam emits one tiny
-    # kernel per tensor) but measured SLOWER end-to-end on TPU: raveling
-    # every parameter forces tiled→linear relayouts that serialize against
-    # the backward pass (fused step 20.6 → 26.4 ms at the bench geometry).
+    # NOTE (measured, bench geometry): both optax.flatten over the whole
+    # tree (20.6 -> 26.4 ms/step) and packing only the small leaves into one
+    # vector (20.6 -> 21.5 ms/step) are SLOWER than the plain per-leaf
+    # update — the ravel/concat relayouts serialize against the backward
+    # pass and outweigh the per-leaf kernel overhead they remove.
     return tx
 
 

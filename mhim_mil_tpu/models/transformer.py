@@ -84,6 +84,11 @@ class NystromMSA(nn.Module):
         h, dh = self.heads, self.dim_head
         inner = h * dh
 
+        # ONE masking pass on the shared qkv input: to_qkv has no bias, so
+        # zeroed rows stay zero in q/k/v and the per-tensor selects inside
+        # the attention op are skipped (3 fewer full-tensor HBM passes at
+        # 10k tokens; the masked rows' outputs are re-zeroed at the end).
+        x = jnp.where(mask[..., None].astype(bool), x, 0)
         qkv = dense(inner * 3, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # Sequence-major [B,N,H,dh]: a free reshape of the qkv output. The
@@ -99,20 +104,21 @@ class NystromMSA(nn.Module):
         # directly-attached TPUs (Mosaic cannot compile over the axon tunnel).
         flash_ok = (
             self.use_flash
-            and not training
             and not no_norm
             and not self.parity
             and jax.default_backend() not in ("cpu",)
         )
         stream_ok = not no_norm and not self.parity and n >= self.stream_min_len
         if flash_ok:
-            from ..ops.pallas_nystrom import flash_nystrom_infer
+            # training uses the differentiable wrapper (fused forward,
+            # gradients by recompute through the exact-match XLA path);
+            # no-grad paths skip residual bookkeeping entirely
+            from ..ops.pallas_nystrom import flash_nystrom, flash_nystrom_infer
 
             qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-            out, attn = flash_nystrom_infer(
-                qh, kh, vh, mask,
-                num_landmarks=self.num_landmarks,
-                pinv_iters=self.pinv_iterations,
+            fn = flash_nystrom if training else flash_nystrom_infer
+            out, attn = fn(
+                qh, kh, vh, mask, self.num_landmarks, self.pinv_iterations
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
             if not return_attn:
@@ -128,6 +134,7 @@ class NystromMSA(nn.Module):
                 num_landmarks=self.num_landmarks,
                 pinv_iters=self.pinv_iterations,
                 return_attn=return_attn,
+                pre_masked=True,
             )  # out already [B,N,inner]
         else:
             qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
@@ -141,12 +148,14 @@ class NystromMSA(nn.Module):
                 return_attn=return_attn,
                 no_norm=no_norm,
                 parity=self.parity,
+                pre_masked=not self.parity,
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
 
         to_out = dense(self.dim, name="to_out")
         if self.residual:
-            v_seq = jnp.where(mask[..., None, None], v, 0).reshape(b, n, inner)
+            # v rows are already zero at masked positions (masked qkv input)
+            v_seq = v.reshape(b, n, inner)
             out = out + _DepthwiseResConv(
                 h, dh, self.residual_conv_kernel, name="res_conv"
             )(v_seq)

@@ -108,8 +108,14 @@ def nystrom_attention(
     no_norm: bool = False,
     compute_dtype=None,
     parity: bool = False,
+    pre_masked: bool = False,
 ):
     """Core masked Nystrom attention.
+
+    ``pre_masked``: caller guarantees q/k/v are already zero at masked
+    positions (one masking pass on the shared qkv input instead of three
+    per-tensor selects — a measured HBM win at 10k tokens); output zeroing
+    is then the caller's job too.
 
     Args:
       q, k, v: ``[B, H, N, dh]`` (q pre-scaled by ``dh**-0.5``).
@@ -143,9 +149,12 @@ def nystrom_attention(
             q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
             mask = jnp.ones((q.shape[0], q.shape[2]), bool)
     mvalid = mask[:, None, :, None]
-    q = jnp.where(mvalid, q, 0).astype(compute_dtype)
-    k = jnp.where(mvalid, k, 0).astype(compute_dtype)
-    v = jnp.where(mvalid, v, 0).astype(compute_dtype)
+    if pre_masked:
+        q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+    else:
+        q = jnp.where(mvalid, q, 0).astype(compute_dtype)
+        k = jnp.where(mvalid, k, 0).astype(compute_dtype)
+        v = jnp.where(mvalid, v, 0).astype(compute_dtype)
     q_l, lm_mask = _landmark_mean(q, mask, m, parity)  # [B,H,m,dh], [B,m]
     k_l, _ = _landmark_mean(k, mask, m, parity)
 
@@ -172,7 +181,8 @@ def nystrom_attention(
             jnp.einsum("bhmn,bhnd->bhmd", attn3, v).astype(compute_dtype),
         ).astype(compute_dtype),
     )
-    out = jnp.where(mvalid, out, 0)
+    if not pre_masked:
+        out = jnp.where(mvalid, out, 0)
     if front_pad:
         out = out[:, :, front_pad:]
 
@@ -223,6 +233,7 @@ def nystrom_attention_streamed(
     return_attn: bool = False,
     chunk: int = 1024,
     compute_dtype=None,
+    pre_masked: bool = False,
 ):
     """Flash-style streamed Nystrom attention: identical math to
     :func:`nystrom_attention` (masked path) but the ``[B,H,N,m]`` similarity /
@@ -263,9 +274,14 @@ def nystrom_attention_streamed(
     m = num_landmarks
 
     mvalid = mask[:, :, None, None]
-    q = jnp.where(mvalid, q, 0).astype(compute_dtype)
-    k = jnp.where(mvalid, k, 0).astype(compute_dtype)
-    v = jnp.where(mvalid, v, 0).astype(compute_dtype)
+    if pre_masked:
+        # caller already zeroed the qkv input at masked rows (one pass on
+        # the shared input instead of three per-tensor selects)
+        q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+    else:
+        q = jnp.where(mvalid, q, 0).astype(compute_dtype)
+        k = jnp.where(mvalid, k, 0).astype(compute_dtype)
+        v = jnp.where(mvalid, v, 0).astype(compute_dtype)
     q_l, lm_mask = _landmark_mean_seq(q, mask, m)  # [B,H,m,dh], [B,m]
     k_l, _ = _landmark_mean_seq(k, mask, m)
 
