@@ -238,3 +238,67 @@ def flash_nystrom_infer(
     out = out.reshape(b, h, npad, dh)[:, :, :n]
     cls_attn = cls.reshape(b, h, npad)[:, :, :n]
     return out, cls_attn
+
+
+# ---- differentiable wrapper --------------------------------------------------
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_nystrom(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    num_landmarks: int,
+    pinv_iters: int = 6,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable fused Nystrom attention: the Pallas kernel on the
+    forward pass, gradients by recomputation through the XLA masked
+    implementation (ops/nystrom.py) — the two are exact-match tested, so the
+    VJP is exactly the XLA path's VJP while the forward keeps the kernel's
+    fused memory behavior (the flash-attention recompute pattern). This is
+    what lets ``use_flash_attn`` cover the *training* hot loop on
+    directly-attached TPUs; the teacher/eval paths keep using
+    :func:`flash_nystrom_infer` (no residuals saved at all)."""
+    return flash_nystrom_infer(
+        q, k, v, mask, num_landmarks, pinv_iters, tile, interpret
+    )
+
+
+def _flash_fwd(q, k, v, mask, num_landmarks, pinv_iters, tile, interpret):
+    out = flash_nystrom_infer(
+        q, k, v, mask, num_landmarks, pinv_iters, tile, interpret
+    )
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd(num_landmarks, pinv_iters, tile, interpret, res, cots):
+    from .nystrom import nystrom_attention
+
+    q, k, v, mask = res
+
+    def ref(q, k, v):
+        # fp32 like the kernel's internal compute, so the recomputed VJP
+        # matches the fused forward's numerics
+        out, attn = nystrom_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), mask, num_landmarks, pinv_iters,
+            return_attn=True, compute_dtype=jnp.float32,
+        )
+        return out, attn
+
+    _, vjp_fn = jax.vjp(ref, q, k, v)
+    d_out, d_attn = cots
+    dq, dk, dv = vjp_fn((d_out.astype(jnp.float32), d_attn.astype(jnp.float32)))
+    import numpy as np
+
+    d_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), d_mask
+
+
+flash_nystrom.defvjp(_flash_fwd, _flash_bwd)
