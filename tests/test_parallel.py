@@ -57,7 +57,9 @@ def test_sharded_training_matches_single_device():
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)
+    # small shapes here; the driver runs the real 10240x1024 flagship
+    # geometry via the default args
+    g.dryrun_multichip(8, bag_size=128, dim=64, inner_dim=64)
 
 
 def test_driver_with_mesh():
@@ -230,3 +232,63 @@ def test_streamed_nystrom_under_sp_sharding():
         o2, a2 = f(qm, km, vm, mm)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-8)
+
+
+def test_mhim_sharded_streamed_4096_and_collectives():
+    """Sharded-vs-single equality at streamed-Nystrom scale (VERDICT r2 #7):
+    the FULL flagship train step on 4096-token bags — the streamed path is
+    active (stream_min_len=4096) — must match the unsharded step under a
+    dp×sp mesh, and the compiled sharded program must actually communicate
+    (HLO collective count > 0, recorded in the assertion message)."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.models.mhim import create_mhim_state, make_mhim_train_step
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+    cfg = load_config(
+        [], model="mhim", baseline="selfattn", input_dim=16, inner_dim=64,
+        batch_size=4, num_epoch=2, lr=1e-3, lr_sche="const",
+        mask_ratio=0.5, mask_ratio_h=0.05, mask_ratio_hr=0.5,
+        merge_enable=True, merge_ratio=0.2, aux_alpha=0.5,
+        attn2score=True, dropout=0.0, compute_dtype="float32",
+    )
+    model, _ = build_model(cfg)
+    rng = np.random.default_rng(1)
+    b, n = 4, 4096
+    batch_np = {
+        "feats": np.asarray(rng.normal(size=(b, n, 16)), np.float32),
+        "mask": np.asarray(np.arange(n)[None] < np.array([n, n, 3500, n])[:, None]),
+        "bag_valid": np.ones((b,), bool),
+        "target": np.asarray(rng.integers(0, 2, size=(b,)), np.int32),
+    }
+    sample = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    lr = make_lr_schedule(cfg, 4)
+    state0 = create_mhim_state(cfg, model, jax.random.PRNGKey(0), sample, lr)
+    step = make_mhim_train_step(cfg, model, steps_per_epoch=4)
+
+    s1, m_single = step(state0, sample)
+
+    mesh = make_mesh(dp=2, sp=4)
+    with mesh:
+        sharded = shard_batch(mesh, batch_np, shard_instances=True)
+        state_r = replicate_tree(mesh, state0)
+        hlo = jax.jit(step).lower(state_r, sharded).compile().as_text()
+        s2, m_sharded = step(state_r, sharded)
+
+    counts = {
+        name: hlo.count(f"{name}(") + hlo.count(f"{name}-start(")
+        for name in ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute")
+    }
+    assert sum(counts.values()) > 0, f"no collectives in sharded HLO: {counts}"
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-5,
+        err_msg=f"collectives={counts}",
+    )
+    np.testing.assert_allclose(
+        float(m_single["keep_num"]), float(m_sharded["keep_num"]), rtol=1e-6
+    )
+    l1 = jax.tree.leaves(s1.params)[0]
+    l2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-6)
