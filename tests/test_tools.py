@@ -196,3 +196,64 @@ def test_export_attention_cli_overlays(tmp_path):
     assert "s0_rois.csv" in files
     rois = open(tmp_path / "attn" / "s0_rois.csv").read().strip().splitlines()
     assert rois[0] == "x,y,score" and len(rois) == 4
+
+
+def test_export_attention_overlay_on_pyramidal_tiff(tmp_path):
+    """--image_dir with pyramidal tiled TIFFs: the overlay renders from a
+    pyramid level through the native reader with coords scaled to it
+    (reference visHeatmap downscale path, WholeSlideImage.py:523-540)."""
+    import h5py
+    import torch
+
+    from mhim_mil_tpu.preprocess.tiff import write_pyramidal_tiff
+
+    pt = tmp_path / "store" / "pt_files"
+    h5d = tmp_path / "store" / "h5_files"
+    pt.mkdir(parents=True)
+    h5d.mkdir(parents=True)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        torch.save(
+            torch.tensor(rng.normal(size=(9, 16)).astype(np.float32)),
+            pt / f"w{i}.pt",
+        )
+        coords = np.array([[x, y] for y in range(3) for x in range(3)]) * 64
+        with h5py.File(h5d / f"w{i}.h5", "w") as f:
+            d = f.create_dataset("coords", data=coords.astype(np.int64))
+            d.attrs["patch_size"] = 64
+            d.attrs["downsample"] = [1, 1]
+        img = np.full((256, 256, 3), 220, np.uint8)
+        write_pyramidal_tiff(str(imgs / f"w{i}.tiff"), img, levels=2, tile=128)
+    csv = tmp_path / "labels.csv"
+    pd.DataFrame({"ID": [f"w{i}" for i in range(4)],
+                  "Label": [i % 2 for i in range(4)]}).to_csv(csv, index=False)
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.engine.driver import run_experiment
+
+    cfg = load_config(
+        [], model="abmil", datasets="c16", csv_path=str(csv),
+        dataset_root=str(tmp_path / "store"), input_dim=16, inner_dim=16,
+        bucket_sizes=(16,), batch_size=2, cv_fold=2, num_epoch=1, max_epoch=1,
+        lr=1e-3, lr_sche="const", num_bootstrap=2,
+        output_path=str(tmp_path / "out"),
+    )
+    run_experiment(cfg)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "export_attention.py"),
+         "--ckpt", str(tmp_path / "out" / "fold_0_model_best.ckpt"),
+         "--out", str(tmp_path / "attn"),
+         "--model", "abmil", "--csv_path", str(csv),
+         "--dataset_root", str(tmp_path / "store"), "--input_dim", "16",
+         "--inner_dim", "16", "--image_dir", str(imgs),
+         "--patch_size", "64"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = sorted(os.listdir(tmp_path / "attn"))
+    assert "w0_overlay.png" in files, files

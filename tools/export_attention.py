@@ -105,14 +105,26 @@ def main():
                 sample_rois,
             )
 
-            for ext in (".png", ".jpg", ".jpeg", ".tif", ".tiff"):
+            for ext in (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".svs"):
                 ip = os.path.join(args.image_dir, sid + ext)
                 if os.path.exists(ip):
-                    img = np.asarray(Image.open(ip).convert("RGB"))
+                    # pyramidal TIFFs render on a downsampled level through
+                    # the native reader; coords scale with it (reference
+                    # visHeatmap downscales the same way,
+                    # WholeSlideImage.py:523-540)
+                    from mhim_mil_tpu.preprocess.tiff import open_slide
+
+                    slide = open_slide(ip)
+                    img = slide.get_thumbnail(4096)
+                    scale = max(
+                        1, int(round(slide.dimensions[0] / img.shape[1]))
+                    )
                     over = render_heatmap_overlay(
-                        img, px_coords, scores, args.patch_size,
+                        img, px_coords // scale, scores,
+                        max(args.patch_size // scale, 1),
                         alpha=args.alpha, cmap=args.cmap,
                     )
+                    slide.close()
                     op = os.path.join(args.out, f"{sid}_overlay.png")
                     Image.fromarray(over).save(op)
                     print(f"  overlay -> {op}")
