@@ -58,6 +58,7 @@ ENCODER_CKPT_ENV = {
     "conch_v1": "CONCH_CKPT_PATH",
     "chief": "CHIEF_CKPT_PATH",
     "gigap": "GIGAP_CKPT_PATH",
+    "sd_vae": "SD_VAE_CKPT_PATH",
 }
 
 
@@ -600,6 +601,142 @@ def import_clip_visual(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params}
 
 
+class _VAEResnetBlock(nn.Module):
+    """diffusers ResnetBlock2D (GroupNorm32 → SiLU → conv3) × 2 with a 1x1
+    shortcut on channel change."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.silu(nn.GroupNorm(32, epsilon=1e-6, name="norm1")(x))
+        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)
+        h = nn.silu(nn.GroupNorm(32, epsilon=1e-6, name="norm2")(h))
+        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), name="conv_shortcut")(x)
+        return x + h
+
+
+class _VAEAttention(nn.Module):
+    """Single-head spatial self-attention of the VAE mid block."""
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(32, epsilon=1e-6, name="group_norm")(x).reshape(b, h * w, c)
+        q = nn.Dense(c, name="to_q")(y)
+        k = nn.Dense(c, name="to_k")(y)
+        v = nn.Dense(c, name="to_v")(y)
+        a = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", q, k) * c ** -0.5, axis=-1
+        )
+        y = nn.Dense(c, name="to_out")(jnp.einsum("bnm,bmc->bnc", a, v))
+        return x + y.reshape(b, h, w, c)
+
+
+class SDVAEEncoder(nn.Module):
+    """Stable-Diffusion VAE encoder (``sd_vae``): diffusers AutoencoderKL's
+    encoder + quant_conv → scaled latents (reference
+    CLAM/models/vae_warpper.py:1-14 wraps ``AutoencoderKL("sd-vae-ft-ema")``
+    and returns ``encode(x).latent_dist.sample() * 0.18215``).
+
+    Divergence (documented): this returns the distribution MEAN × 0.18215 —
+    the reference *samples*, making its stored features stochastic; a
+    deterministic encoder is strictly more useful for a feature store and
+    equals the reference in expectation. Output is flattened ``[B, 4·(H/8)·
+    (W/8)]`` so the store keeps its ``[N, D]`` contract."""
+
+    block_out_channels: Sequence[int] = (128, 128, 256, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] in [-1, 1]-style normalization
+        chans = self.block_out_channels
+        x = nn.Conv(chans[0], (3, 3), padding=((1, 1), (1, 1)), name="conv_in")(x)
+        for i, ch in enumerate(chans):
+            for j in range(self.layers_per_block):
+                x = _VAEResnetBlock(ch, name=f"down{i}_res{j}")(x)
+            if i < len(chans) - 1:
+                # diffusers Downsample2D: asymmetric (0,1) pad + stride-2 conv
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(
+                    ch, (3, 3), strides=(2, 2), padding="VALID",
+                    name=f"down{i}_downsample",
+                )(x)
+        x = _VAEResnetBlock(chans[-1], name="mid_res0")(x)
+        x = _VAEAttention(name="mid_attn")(x)
+        x = _VAEResnetBlock(chans[-1], name="mid_res1")(x)
+        x = nn.silu(nn.GroupNorm(32, epsilon=1e-6, name="conv_norm_out")(x))
+        moments = nn.Conv(
+            2 * self.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
+            name="conv_out",
+        )(x)
+        moments = nn.Conv(
+            2 * self.latent_channels, (1, 1), name="quant_conv"
+        )(moments)
+        mean = moments[..., : self.latent_channels]
+        b = mean.shape[0]
+        # flatten in the reference's [C, H, W] storage order
+        return (mean * 0.18215).transpose(0, 3, 1, 2).reshape(b, -1)
+
+
+def import_sd_vae(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """diffusers AutoencoderKL state_dict → SDVAEEncoder params (encoder.*
+    + quant_conv; both attention naming families: modern ``to_q/to_out.0``
+    and legacy ``query/proj_attn``)."""
+    def conv(src):
+        return {"kernel": _t(sd[f"{src}.weight"]).transpose(2, 3, 1, 0),
+                "bias": _t(sd[f"{src}.bias"])}
+
+    def gn(src):
+        return {"scale": _t(sd[f"{src}.weight"]), "bias": _t(sd[f"{src}.bias"])}
+
+    def lin(src):
+        w = _t(sd[f"{src}.weight"])
+        if w.ndim == 4:  # legacy 1x1-conv attention projections
+            w = w[:, :, 0, 0]
+        return {"kernel": w.T, "bias": _t(sd[f"{src}.bias"])}
+
+    def resnet(dst, src):
+        p = {
+            "norm1": gn(f"{src}.norm1"), "conv1": conv(f"{src}.conv1"),
+            "norm2": gn(f"{src}.norm2"), "conv2": conv(f"{src}.conv2"),
+        }
+        if f"{src}.conv_shortcut.weight" in sd:
+            p["conv_shortcut"] = conv(f"{src}.conv_shortcut")
+        params[dst] = p
+
+    params: Dict[str, Any] = {"conv_in": conv("encoder.conv_in")}
+    i = 0
+    while f"encoder.down_blocks.{i}.resnets.0.norm1.weight" in sd:
+        j = 0
+        while f"encoder.down_blocks.{i}.resnets.{j}.norm1.weight" in sd:
+            resnet(f"down{i}_res{j}", f"encoder.down_blocks.{i}.resnets.{j}")
+            j += 1
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            params[f"down{i}_downsample"] = conv(
+                f"encoder.down_blocks.{i}.downsamplers.0.conv"
+            )
+        i += 1
+    resnet("mid_res0", "encoder.mid_block.resnets.0")
+    resnet("mid_res1", "encoder.mid_block.resnets.1")
+    ab = "encoder.mid_block.attentions.0"
+    modern = f"{ab}.to_q.weight" in sd
+    params["mid_attn"] = {
+        "group_norm": gn(f"{ab}.group_norm"),
+        "to_q": lin(f"{ab}.to_q" if modern else f"{ab}.query"),
+        "to_k": lin(f"{ab}.to_k" if modern else f"{ab}.key"),
+        "to_v": lin(f"{ab}.to_v" if modern else f"{ab}.value"),
+        "to_out": lin(f"{ab}.to_out.0" if modern else f"{ab}.proj_attn"),
+    }
+    params["conv_norm_out"] = gn("encoder.conv_norm_out")
+    params["conv_out"] = conv("encoder.conv_out")
+    params["quant_conv"] = conv("quant_conv")
+    return {"params": params}
+
+
 # ---- torch state-dict import --------------------------------------------------
 
 
@@ -827,9 +964,32 @@ def get_encoder(
         return fn, ENCODER_NORM[name]
 
     if name == "sd_vae":
-        raise NotImplementedError(
-            "encoder 'sd_vae' (Stable-Diffusion VAE latents) is not bundled; "
-            "use 'resnet50_trunc' / 'uni_v1' / 'chief' / 'conch_v1' or consume "
-            "the published CPathPatchFeature stores (reference README:61-64)."
+        # SD VAE latents (reference vae_warpper.py wraps AutoencoderKL)
+        if not ckpt_path:
+            raise NotImplementedError(
+                "encoder 'sd_vae' needs the AutoencoderKL checkpoint: set "
+                "SD_VAE_CKPT_PATH or pass ckpt_path (a diffusers state_dict "
+                ".pt; the reference pulls stabilityai/sd-vae-ft-ema)."
+            )
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        i = 0
+        chans = []
+        while f"encoder.down_blocks.{i}.resnets.0.conv1.weight" in sd:
+            chans.append(int(_t(sd[f"encoder.down_blocks.{i}.resnets.0.conv1.weight"]).shape[0]))
+            i += 1
+        layers = sum(
+            1 for k in sd if k.startswith("encoder.down_blocks.0.resnets.")
+            and k.endswith(".conv1.weight")
         )
+        latent = int(_t(sd["quant_conv.weight"]).shape[0]) // 2
+        model = SDVAEEncoder(
+            block_out_channels=tuple(chans), layers_per_block=layers,
+            latent_channels=latent,
+        )
+        variables = jax.tree.map(jnp.asarray, import_sd_vae(sd))
+        fn = jax.jit(partial(model.apply, variables))
+        return fn, ENCODER_NORM[name]
     raise NotImplementedError(f"model {name} not implemented")

@@ -544,3 +544,110 @@ def test_conch_trunk_naming_routes_to_vit(tmp_path):
     fn, _ = get_encoder("conch_v1", str(p))
     out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(out, ref, atol=8e-4, rtol=1e-3)
+
+
+# ---- sd_vae (AutoencoderKL encoder) golden parity ----------------------------
+
+
+class _TorchVAEResnet(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(32, cin, eps=1e-6)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = tnn.GroupNorm(32, cout, eps=1e-6)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = tnn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x):
+        h = self.conv1(tnn.functional.silu(self.norm1(x)))
+        h = self.conv2(tnn.functional.silu(self.norm2(h)))
+        s = x if self.conv_shortcut is None else self.conv_shortcut(x)
+        return s + h
+
+
+class _TorchVAEAttn(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.group_norm = tnn.GroupNorm(32, c, eps=1e-6)
+        self.to_q = tnn.Linear(c, c)
+        self.to_k = tnn.Linear(c, c)
+        self.to_v = tnn.Linear(c, c)
+        self.to_out = tnn.ModuleList([tnn.Linear(c, c)])
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        y = self.group_norm(x).reshape(B, C, H * W).transpose(1, 2)
+        q, k, v = self.to_q(y), self.to_k(y), self.to_v(y)
+        a = torch.softmax(q @ k.transpose(-1, -2) * C ** -0.5, -1)
+        y = self.to_out[0](a @ v)
+        return x + y.transpose(1, 2).reshape(B, C, H, W)
+
+
+class _TorchSDVAE(tnn.Module):
+    """diffusers-named AutoencoderKL encoder + quant_conv (tiny config)."""
+
+    def __init__(self, chans=(32, 32, 64), layers=1, latent=4):
+        super().__init__()
+        enc = tnn.Module()
+        enc.conv_in = tnn.Conv2d(3, chans[0], 3, padding=1)
+        enc.down_blocks = tnn.ModuleList()
+        cin = chans[0]
+        for i, ch in enumerate(chans):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList()
+            for _ in range(layers):
+                blk.resnets.append(_TorchVAEResnet(cin, ch))
+                cin = ch
+            if i < len(chans) - 1:
+                ds = tnn.Module()
+                ds.conv = tnn.Conv2d(ch, ch, 3, stride=2, padding=0)
+                blk.downsamplers = tnn.ModuleList([ds])
+            enc.down_blocks.append(blk)
+        enc.mid_block = tnn.Module()
+        enc.mid_block.resnets = tnn.ModuleList(
+            [_TorchVAEResnet(chans[-1], chans[-1]) for _ in range(2)]
+        )
+        enc.mid_block.attentions = tnn.ModuleList([_TorchVAEAttn(chans[-1])])
+        enc.conv_norm_out = tnn.GroupNorm(32, chans[-1], eps=1e-6)
+        enc.conv_out = tnn.Conv2d(chans[-1], 2 * latent, 3, padding=1)
+        self.encoder = enc
+        self.quant_conv = tnn.Conv2d(2 * latent, 2 * latent, 1)
+        self.latent = latent
+
+    def forward(self, x):
+        e = self.encoder
+        x = e.conv_in(x)
+        for blk in e.down_blocks:
+            for r in blk.resnets:
+                x = r(x)
+            if hasattr(blk, "downsamplers"):
+                x = tnn.functional.pad(x, (0, 1, 0, 1))
+                x = blk.downsamplers[0].conv(x)
+        x = e.mid_block.resnets[0](x)
+        x = e.mid_block.attentions[0](x)
+        x = e.mid_block.resnets[1](x)
+        x = e.conv_out(tnn.functional.silu(e.conv_norm_out(x)))
+        moments = self.quant_conv(x)
+        mean = moments[:, : self.latent]
+        return (mean * 0.18215).reshape(x.shape[0], -1)
+
+
+def test_sd_vae_golden(tmp_path):
+    """sd_vae = AutoencoderKL encoder latents (reference vae_warpper.py:1-14;
+    deterministic mean instead of a sample — documented divergence):
+    diffusers-named torch execution == flax import, through the registry
+    with geometry inferred from the state dict."""
+    from mhim_mil_tpu.preprocess.encoders import get_encoder
+
+    torch.manual_seed(5)
+    tmodel = _TorchSDVAE().eval()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    p = tmp_path / "vae.pt"
+    torch.save(tmodel.state_dict(), p)
+    fn, norm = get_encoder("sd_vae", str(p))
+    assert norm == "uniform"
+    out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    assert out.shape == ref.shape  # [B, 4*(H/4)^2] for the tiny config
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
