@@ -148,15 +148,6 @@ def _iter_batches(
         yield b
 
 
-def _stage_cast(cfg: Config, b: dict) -> dict:
-    """Feats stay fp32 at staging. Pre-casting to bf16 halves the
-    host→device transfer but measured 1.3 ms/step SLOWER on-chip (the
-    fp32→bf16 convert fuses into the first consumers for free while the
-    bf16 input layout costs more than the halved read saves); transfers
-    overlap the step through the prefetch double-buffer anyway."""
-    return b
-
-
 def device_eval_batches(cfg: Config, slides, mesh=None, shard_instances=False):
     """Pre-stage a deterministic eval split on device once — eval batches are
     identical every epoch, and host→device transfer is the epoch-loop
@@ -169,12 +160,15 @@ def device_eval_batches(cfg: Config, slides, mesh=None, shard_instances=False):
     # compiled eval shape; useful on remote TPUs where each new bucket pays a
     # fresh compile).
     buckets = (cfg.eval_bucket,) if cfg.eval_bucket else None
+    # NOTE: feats are staged fp32 on purpose — pre-casting to bf16 halves
+    # the host→device transfer but measured 1.3 ms/step SLOWER on-chip (the
+    # fp32→bf16 convert fuses into the first consumers for free while the
+    # bf16 input layout costs more than the halved read saves).
     for b in _iter_batches(cfg, slides, shuffle=False, seed=0, bucket_sizes=buckets):
-        sb = _stage_cast(cfg, b)
         if mesh is not None:
-            jb = shard_batch(mesh, sb, shard_instances=shard_instances)
+            jb = shard_batch(mesh, b, shard_instances=shard_instances)
         else:
-            jb = {k: jnp.asarray(v) for k, v in sb.items()}
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
         out.append((jb, b))
     return out
 
@@ -372,13 +366,6 @@ def _prefetch_to_device(batch_iter, mesh, shard_instances, depth: int = 2):
         yield q.popleft()
 
 
-def _prefetch_to_device_cast(cfg, batch_iter, mesh, shard_instances, depth: int = 2):
-    """Prefetch with the bf16 staging cast applied per batch."""
-    return _prefetch_to_device(
-        (_stage_cast(cfg, b) for b in batch_iter), mesh, shard_instances, depth
-    )
-
-
 def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
              logger=None):
     """Train one fold (reference one_fold main.py:189-428)."""
@@ -466,8 +453,7 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         # --script_mode no_train: keep the epoch/validation machinery but
         # skip parameter updates (reference main.py:263-268)
         if cfg.script_mode != "no_train":
-            for jb in _prefetch_to_device_cast(
-                cfg,
+            for jb in _prefetch_to_device(
                 _iter_batches(
                     cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
                     patch_shuffle=cfg.patch_shuffle,
