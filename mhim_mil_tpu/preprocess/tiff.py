@@ -10,8 +10,8 @@ wraps `openslide.open_slide`; `read_region` semantics match OpenSlide's —
 level-0 location, level-sized region).
 
 Supported subset (honestly documented, tested):
-  * classic TIFF (magic 42), little- or big-endian; BigTIFF (43) rejected
-    with a clear error
+  * classic TIFF (magic 42) and BigTIFF (magic 43 — what real >4 GB WSIs
+    like CAMELYON16 .tif use), little- or big-endian
   * tiled pages (TileWidth/TileLength/TileOffsets) and striped pages
     (RowsPerStrip/StripOffsets) — thumbnails are often striped
   * compression: 1 (none), 5 (LZW, with horizontal predictor), 7 (JPEG,
@@ -20,8 +20,8 @@ Supported subset (honestly documented, tested):
   * pages sorted by width into a pyramid; ``read_region`` takes level-0
     coordinates like OpenSlide
 
-Out of scope: BigTIFF, JPEG2000 (Aperio .svs at compression 33003/33005),
-planar configuration 2, palette images. Files outside the subset raise
+Out of scope: JPEG2000 (Aperio .svs at compression 33003/33005), planar
+configuration 2, palette images. Files outside the subset raise
 ``UnsupportedTiffError`` so callers can fall back to plain raster loading.
 """
 
@@ -53,18 +53,32 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
              12: "d", 16: "Q", 17: "q"}
 
 
-def _read_ifd(f, off: int, bo: str) -> Tuple[Dict[int, tuple], int]:
+def _read_ifd(f, off: int, bo: str, big: bool = False) -> Tuple[Dict[int, tuple], int]:
+    """One IFD. ``big``: BigTIFF layout (u64 entry count / 20-byte entries /
+    8-byte inline values / u64 next pointer) — what real >4 GB WSIs use."""
     f.seek(off)
-    (n,) = struct.unpack(bo + "H", f.read(2))
+    if big:
+        (n,) = struct.unpack(bo + "Q", f.read(8))
+        esz, inline, ofmt = 20, 8, "Q"
+    else:
+        (n,) = struct.unpack(bo + "H", f.read(2))
+        esz, inline, ofmt = 12, 4, "I"
     tags: Dict[int, tuple] = {}
-    entries = f.read(n * 12)
-    (next_off,) = struct.unpack(bo + "I", f.read(4))
+    entries = f.read(n * esz)
+    (next_off,) = struct.unpack(bo + ofmt, f.read(struct.calcsize(ofmt)))
     for i in range(n):
-        tag, typ, cnt = struct.unpack(bo + "HHI", entries[i * 12 : i * 12 + 8])
+        if big:
+            tag, typ, cnt = struct.unpack(
+                bo + "HHQ", entries[i * esz : i * esz + 12]
+            )
+        else:
+            tag, typ, cnt = struct.unpack(
+                bo + "HHI", entries[i * esz : i * esz + 8]
+            )
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        raw = entries[i * 12 + 8 : i * 12 + 12]
-        if size > 4:
-            (voff,) = struct.unpack(bo + "I", raw)
+        raw = entries[i * esz + esz - inline : i * esz + esz]
+        if size > inline:
+            (voff,) = struct.unpack(bo + ofmt, raw)
             here = f.tell()
             f.seek(voff)
             raw = f.read(size)
@@ -183,15 +197,20 @@ class PyramidalTiff:
         else:
             raise UnsupportedTiffError("not a TIFF file")
         (magic,) = struct.unpack(bo + "H", head[2:4])
-        if magic == 43:
-            raise UnsupportedTiffError("BigTIFF not supported")
-        if magic != 42:
+        big = magic == 43
+        if magic not in (42, 43):
             raise UnsupportedTiffError("not a TIFF file")
         self._bo = bo
-        (off,) = struct.unpack(bo + "I", self._f.read(4))
+        if big:
+            osz, zero = struct.unpack(bo + "HH", self._f.read(4))
+            if osz != 8 or zero != 0:
+                raise UnsupportedTiffError("malformed BigTIFF header")
+            (off,) = struct.unpack(bo + "Q", self._f.read(8))
+        else:
+            (off,) = struct.unpack(bo + "I", self._f.read(4))
         pages = []
         while off:
-            tags, off = _read_ifd(self._f, off, bo)
+            tags, off = _read_ifd(self._f, off, bo, big)
             if _W in tags and _H in tags:
                 pages.append(_Page(tags))
         if not pages:
@@ -349,11 +368,14 @@ def write_pyramidal_tiff(
     tile: int = 256,
     compression: str = "raw",
     quality: int = 90,
+    bigtiff: bool = False,
 ) -> None:
-    """Write an RGB image as a classic tiled pyramidal TIFF (each level a 2x
+    """Write an RGB image as a tiled pyramidal TIFF (each level a 2x
     box-downsample of the previous). ``compression``: 'raw' | 'jpeg' |
-    'deflate'. Used by the L0 tests as the synthetic-WSI fixture and usable
-    as a converter target for level-0 exports."""
+    'deflate'; ``bigtiff`` emits the 8-byte-offset BigTIFF layout that real
+    >4 GB WSIs (e.g. CAMELYON16 .tif) use. Used by the L0 tests as the
+    synthetic-WSI fixture and usable as a converter target for level-0
+    exports."""
     assert level0.ndim == 3 and level0.shape[2] == 3 and level0.dtype == np.uint8
     imgs = [level0]
     for _ in range(1, levels):
@@ -365,8 +387,15 @@ def write_pyramidal_tiff(
 
     bo = "<"
     out = io.BytesIO()
-    out.write(b"II*\x00")
-    out.write(struct.pack(bo + "I", 0))  # first-IFD offset patched later
+    if bigtiff:
+        out.write(b"II+\x00")
+        out.write(struct.pack(bo + "HH", 8, 0))
+        out.write(struct.pack(bo + "Q", 0))  # first-IFD offset patched later
+        ofmt, inline, entry_hdr = "Q", 8, "HHQ"
+    else:
+        out.write(b"II*\x00")
+        out.write(struct.pack(bo + "I", 0))  # first-IFD offset patched later
+        ofmt, inline, entry_hdr = "I", 4, "HHI"
     ifd_offsets = []
 
     def _tile_bytes(img, ty, tx):
@@ -400,12 +429,13 @@ def write_pyramidal_tiff(
 
         comp_code = {"raw": 1, "jpeg": 7, "deflate": 8}[compression]
         photo = 6 if compression == "jpeg" else 2
+        off_type = 16 if bigtiff else 4  # LONG8 offsets for >4 GB files
         tags = [
             (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [8, 8, 8]),
             (_COMP, 3, [comp_code]), (_PHOTO, 3, [photo]),
             (_SPP, 3, [3]), (_PLANAR, 3, [1]),
             (_TILE_W, 3, [tile]), (_TILE_H, 3, [tile]),
-            (_TILE_OFF, 4, offs), (_TILE_CNT, 4, cnts),
+            (_TILE_OFF, off_type, offs), (_TILE_CNT, 4, cnts),
         ]
         # out-of-line values first
         tag_entries = []
@@ -413,32 +443,39 @@ def write_pyramidal_tiff(
             fmt = _TYPE_FMT[typ]
             size = _TYPE_SIZE[typ] * len(vals)
             packed = struct.pack(bo + fmt * len(vals), *vals)
-            if size > 4:
+            head = struct.pack(bo + entry_hdr, tag, typ, len(vals))
+            if size > inline:
                 voff = out.tell()
                 out.write(packed)
                 if out.tell() % 2:
                     out.write(b"\x00")
-                entry = struct.pack(bo + "HHI", tag, typ, len(vals)) + struct.pack(
-                    bo + "I", voff
-                )
+                entry = head + struct.pack(bo + ofmt, voff)
             else:
-                entry = struct.pack(bo + "HHI", tag, typ, len(vals)) + packed.ljust(
-                    4, b"\x00"
-                )
+                entry = head + packed.ljust(inline, b"\x00")
             tag_entries.append(entry)
         ifd_offsets.append(out.tell())
-        out.write(struct.pack(bo + "H", len(tag_entries)))
+        if bigtiff:
+            out.write(struct.pack(bo + "Q", len(tag_entries)))
+        else:
+            out.write(struct.pack(bo + "H", len(tag_entries)))
         for e in tag_entries:
             out.write(e)
-        out.write(struct.pack(bo + "I", 0))  # next-IFD patched below
+        out.write(struct.pack(bo + ofmt, 0))  # next-IFD patched below
 
     buf = bytearray(out.getvalue())
-    buf[4:8] = struct.pack(bo + "I", ifd_offsets[0])
+    esz = 20 if bigtiff else 12
+    cnt_sz = 8 if bigtiff else 2
+    first_at = 8 if bigtiff else 4
+    osz = struct.calcsize(ofmt)
+    buf[first_at : first_at + osz] = struct.pack(bo + ofmt, ifd_offsets[0])
     for i in range(len(ifd_offsets) - 1):
         # next-IFD pointer sits after the entry table of IFD i
         ifd = ifd_offsets[i]
-        (n,) = struct.unpack(bo + "H", bytes(buf[ifd : ifd + 2]))
-        ptr = ifd + 2 + n * 12
-        buf[ptr : ptr + 4] = struct.pack(bo + "I", ifd_offsets[i + 1])
+        if bigtiff:
+            (n,) = struct.unpack(bo + "Q", bytes(buf[ifd : ifd + 8]))
+        else:
+            (n,) = struct.unpack(bo + "H", bytes(buf[ifd : ifd + 2]))
+        ptr = ifd + cnt_sz + n * esz
+        buf[ptr : ptr + osz] = struct.pack(bo + ofmt, ifd_offsets[i + 1])
     with open(path, "wb") as f:
         f.write(buf)

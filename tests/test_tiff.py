@@ -199,3 +199,21 @@ def test_pyramidal_wsi_to_training(tmp_path):
         correct += int(((pred == tgt) & valid).sum())
         total += int(valid.sum())
     assert correct / total >= 3 / 4, f"train acc {correct}/{total}"
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets — real >4 GB WSIs like CAMELYON16
+    .tif): writer emits it, reader parses the 64-bit IFD chain; PIL
+    cross-validates the pixel content."""
+    img = _smooth_img(500, 600, seed=2)
+    p = str(tmp_path / "big.tiff")
+    write_pyramidal_tiff(p, img, levels=2, tile=128, bigtiff=True)
+    assert open(p, "rb").read(4) == b"II+\x00"
+    s = PyramidalTiff(p)
+    assert s.level_count == 2 and s.dimensions == (600, 500)
+    r = s.read_region((100, 50), 0, (256, 200))
+    np.testing.assert_array_equal(r, img[50:250, 100:356])
+    s.close()
+    # independent decoder agrees on level 0
+    pil = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(pil, img)
