@@ -395,23 +395,35 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
     if cfg.script_mode == "test":
         from ..utils.checkpoint import load_checkpoint, restore_state
 
-        path = cfg.model_path or cfg.output_path
-        if path and os.path.isdir(path):
-            path = os.path.join(path, f"fold_{fold}_model_best.ckpt")
+        root = cfg.model_path or cfg.output_path
+        path = root
+        ema_path = None
+        if root and os.path.isdir(root):
+            path = os.path.join(root, f"fold_{fold}_model_best.ckpt")
+            ema_path = os.path.join(root, f"fold_{fold}_ema_model_best.ckpt")
         if path and os.path.exists(path):
             state = restore_state(state, load_checkpoint(path))
             print(f"[fold {fold}] loaded {path}")
-        test_row = evaluate(
-            cfg, eval_step, state, test_slides, fold,
-            bootstrap=cfg.bootstrap_mode in ("test", "test_val"),
-        )
-        return {
+        boot = cfg.bootstrap_mode in ("test", "test_val")
+        test_row = evaluate(cfg, eval_step, state, test_slides, fold,
+                            bootstrap=boot)
+        out = {
             "fold": fold,
             "best_epoch": -1,
             "best_val": float("nan"),
             "test": {k: v for k, v in test_row.items() if not k.startswith("_")},
             "history": [],
         }
+        # the reference reloads and final-tests the EMA best too
+        # (main.py:391-413); report its row when the artifact exists
+        if ema_path and os.path.exists(ema_path) and eval_tea is not None:
+            ema_state = restore_state(state, load_checkpoint(ema_path))
+            row = evaluate(cfg, eval_tea, ema_state, test_slides, fold,
+                           bootstrap=boot)
+            out["test_ema"] = {
+                k: v for k, v in row.items() if not k.startswith("_")
+            }
+        return out
 
     stopper = EarlyStopping(patience=cfg.patient, stop_epoch=cfg.max_epoch)
     # Dual best tracking (reference main.py:348-369): the student best and

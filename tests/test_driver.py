@@ -411,3 +411,25 @@ def test_init_stu_type_modes(tmp_path):
             assert any(
                 not np.allclose(a, b) for a, b in zip(flat_s, flat_t)
             )
+
+
+def test_script_mode_test_reports_ema_row(tmp_path):
+    """--script_mode test reloads BOTH best artifacts when present and
+    reports test + test_ema rows (reference main.py:384-413)."""
+    import os
+
+    cfg = _tiny_cfg(
+        model="mhim", baseline="attn", mask_ratio=0.2, num_epoch=2,
+        max_epoch=2, cv_fold=2, output_path=str(tmp_path),
+    )
+    run_experiment(cfg)
+    assert os.path.exists(tmp_path / "fold_0_ema_model_best.ckpt")
+    cfg2 = _tiny_cfg(
+        model="mhim", baseline="attn", mask_ratio=0.2, script_mode="test",
+        model_path=str(tmp_path), output_path="", cv_fold=2,
+    )
+    res = run_experiment(cfg2)
+    for f in res["folds"]:
+        assert "test_ema" in f
+        assert np.isfinite(f["test_ema"]["auc"])
+    assert "summary_ema" in res
