@@ -3,9 +3,10 @@
 Reference: main.py:20-187 (``main``) and :189-428 (``one_fold``). The train
 loop itself is one jitted step; this module is the thin host orchestration
 around it — fold splits, epoch iteration, validation (+ teacher validation
-for MHIM), early stopping on val loss, best-checkpoint selection by the task
-metric (AUC / c-index), final test with bootstrap CIs, and cross-fold
-mean±std aggregation.
+for MHIM), early stopping on the negative task metric (reference
+engines/metrics.py:196-204), independent student/EMA best-checkpoint
+selection (reference main.py:348-369), final test of both bests with
+bootstrap CIs, and cross-fold mean±std aggregation.
 """
 
 from __future__ import annotations
