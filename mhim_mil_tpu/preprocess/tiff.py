@@ -15,7 +15,9 @@ Supported subset (honestly documented, tested):
   * tiled pages (TileWidth/TileLength/TileOffsets) and striped pages
     (RowsPerStrip/StripOffsets) — thumbnails are often striped
   * compression: 1 (none), 5 (LZW, with horizontal predictor), 7 (JPEG,
-    with or without a shared JPEGTables segment), 8/32946 (deflate)
+    with or without a shared JPEGTables segment), 8/32946 (deflate),
+    32773 (PackBits); LZW and PackBits decode through the native C codec
+    (``mhim_mil_tpu.native``, built on demand, pure-Python fallback)
   * photometric: RGB, YCbCr (JPEG), grayscale (expanded to RGB)
   * pages sorted by width into a pyramid; ``read_region`` takes level-0
     coordinates like OpenSlide
@@ -96,8 +98,10 @@ def _read_ifd(f, off: int, bo: str, big: bool = False) -> Tuple[Dict[int, tuple]
     return tags, next_off
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """TIFF-flavour LZW (MSB-first codes, early code-size change)."""
+def _lzw_decode_py(data: bytes) -> bytes:
+    """TIFF-flavour LZW (MSB-first codes, early code-size change) — the
+    pure-Python reference implementation; the hot path routes through the
+    C decoder in ``mhim_mil_tpu.native`` when a compiler is available."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: List[bytes] = []
@@ -140,6 +144,61 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavour LZW encoder (writer-side twin of the decoder: MSB-first
+    codes, early width change after the insert, conservative CLEAR before
+    the 12-bit table boundary). Only used by ``write_pyramidal_tiff`` — real
+    ingestion never encodes — so clarity wins over ratio."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        buf &= (1 << nbits) - 1
+
+    def fresh():
+        return {bytes([j]): j for j in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: the decoder bumps its read width after installing
+        # entry (1<<width)-2, so the encoder bumps after the same insert
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = c
+        if next_code >= 4093:  # clear well before any 13-bit code is needed
+            emit(table[w])
+            emit(CLEAR)
+            table = fresh()
+            next_code = 258
+            width = 9
+            w = b""
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
 
@@ -171,7 +230,7 @@ class _Page:
             self.tiles_x = 1
         if tags.get(_PLANAR, (1,))[0] != 1:
             raise UnsupportedTiffError("planar configuration 2 not supported")
-        if self.comp not in (1, 5, 7, 8, 32946):
+        if self.comp not in (1, 5, 7, 8, 32773, 32946):
             raise UnsupportedTiffError(
                 f"compression {self.comp} not supported (JPEG2000/.svs needs "
                 "an external codec)"
@@ -245,13 +304,19 @@ class PyramidalTiff:
                 data = tables[:-2] + data[2:]
             arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         else:
-            if p.comp in (8, 32946):
-                data = zlib.decompress(data)
-            elif p.comp == 5:
-                data = _lzw_decode(data)
             # strip height may exceed the remaining rows on the last strip
             rows = min(p.th, p.height - (idx // p.tiles_x) * p.th) if not p.tiled else p.th
             want = p.tw * rows * p.spp
+            if p.comp in (8, 32946):
+                data = zlib.decompress(data)
+            elif p.comp == 5:
+                from ..native import lzw_decode
+
+                data = lzw_decode(data, want)
+            elif p.comp == 32773:
+                from ..native import packbits_decode
+
+                data = packbits_decode(data, want)
             arr = np.frombuffer(data[:want], np.uint8).reshape(rows, p.tw, p.spp)
             if p.predictor == 2:
                 arr = _undo_predictor(
@@ -412,6 +477,8 @@ def write_pyramidal_tiff(
             return b.getvalue()
         if compression == "deflate":
             return zlib.compress(t.tobytes())
+        if compression == "lzw":
+            return _lzw_encode(t.tobytes())
         return t.tobytes()
 
     for img in imgs:
@@ -427,7 +494,7 @@ def write_pyramidal_tiff(
                 if out.tell() % 2:
                     out.write(b"\x00")
 
-        comp_code = {"raw": 1, "jpeg": 7, "deflate": 8}[compression]
+        comp_code = {"raw": 1, "jpeg": 7, "deflate": 8, "lzw": 5}[compression]
         photo = 6 if compression == "jpeg" else 2
         off_type = 16 if bigtiff else 4  # LONG8 offsets for >4 GB files
         tags = [

@@ -28,7 +28,7 @@ def _smooth_img(h, w, seed=0):
     return img.astype(np.uint8)
 
 
-@pytest.mark.parametrize("comp", ["raw", "deflate", "jpeg"])
+@pytest.mark.parametrize("comp", ["raw", "deflate", "jpeg", "lzw"])
 def test_roundtrip_region_reads(tmp_path, comp):
     img = _smooth_img(700, 900)
     path = str(tmp_path / f"s_{comp}.tiff")
@@ -78,6 +78,42 @@ def test_reads_pil_written_lzw_and_deflate_strips(tmp_path):
         out = s.read_region((0, 0), 0, (300, 260))
         np.testing.assert_array_equal(out, img)
         s.close()
+
+
+def test_reads_pil_written_packbits(tmp_path):
+    """PackBits (compression 32773) via an independent writer."""
+    img = _smooth_img(180, 220, seed=3)
+    p = str(tmp_path / "pb.tiff")
+    Image.fromarray(img).save(p, compression="packbits")
+    s = PyramidalTiff(p)
+    np.testing.assert_array_equal(s.read_region((0, 0), 0, (220, 180)), img)
+    s.close()
+
+
+def test_native_codec_matches_python(tmp_path):
+    """The C codecs (mhim_mil_tpu/native) must agree byte-for-byte with the
+    pure-Python decoders they accelerate, including the truncating `cap`
+    semantics callers rely on for last-strip geometry."""
+    from mhim_mil_tpu import native
+    from mhim_mil_tpu.preprocess.tiff import _lzw_decode_py, _lzw_encode
+
+    rng = np.random.default_rng(7)
+    payloads = [
+        rng.integers(0, 256, 40000, dtype=np.uint8).tobytes(),  # incompressible
+        (rng.integers(0, 4, 60000, dtype=np.uint8) * 63).tobytes(),  # runs
+        bytes(np.tile(np.arange(256, dtype=np.uint8), 40)),  # cyclic
+        b"",
+    ]
+    for data in payloads:
+        enc = _lzw_encode(data)
+        assert _lzw_decode_py(enc) == data
+        assert native.lzw_decode(enc, len(data)) == data
+        half = len(data) // 2
+        assert native.lzw_decode(enc, half) == data[:half]
+    if native.have_native():
+        # the ctypes path and the pure-Python fallback return identical bytes
+        enc = _lzw_encode(payloads[1])
+        assert native.lzw_decode(enc, len(payloads[1])) == _lzw_decode_py(enc)
 
 
 def test_open_slide_fallback(tmp_path):
