@@ -157,6 +157,11 @@ def main() -> None:
         "mask": batch["mask"][:1],
     }
     float(jnp.sum(eval_step(state, one)["logits"]))  # compile
+    acc0 = None
+    for _ in range(2 * WARMUP_STEPS):  # per-program warm-up (see section 4)
+        out = eval_step(state, one)["logits"]
+        acc0 = out if acc0 is None else acc0 + out
+    float(jnp.sum(acc0))
     lats = []
     for _ in range(LATENCY_REPS):
         t0 = time.perf_counter()
@@ -169,6 +174,11 @@ def main() -> None:
     #     round-trip amortizes away and total/N is the device execution time
     #     per slide (the per-call p50 above is link-floored on this tunnel).
     acc1 = None
+    for _ in range(LATENCY_REPS):  # re-ramp after the idle synced loop above
+        out = eval_step(state, one)["logits"]
+        acc1 = out if acc1 is None else acc1 + out
+    float(jnp.sum(acc1))
+    acc1 = None
     t0 = time.perf_counter()
     for _ in range(LATENCY_REPS):
         out = eval_step(state, one)["logits"]
@@ -178,9 +188,17 @@ def main() -> None:
 
     # 4. Batched serving throughput: forward_test at the training batch,
     #    pipelined dispatch (what a bulk scorer sustains, link-independent).
+    #    A program's first ~30 executions in a process run up to 2x slow on
+    #    this backend (measured: the first-timed program reads 22.7 ms where
+    #    steady state is 11.0, whichever program goes first) — warm with a
+    #    full pipelined burst before the timed window.
     eb = {"feats": batch["feats"], "mask": batch["mask"]}
     acc = None
     float(jnp.sum(eval_step(state, eb)["logits"]))  # compile
+    for _ in range(MEASURE_STEPS):  # ~0.5 s sustained work re-ramps the clocks
+        acc = eval_step(state, eb)["logits"] if acc is None else acc + eval_step(state, eb)["logits"]
+    float(jnp.sum(acc))
+    acc = None
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         out = eval_step(state, eb)["logits"]
