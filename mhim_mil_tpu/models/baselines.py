@@ -72,12 +72,10 @@ class SAttentionBaseline(nn.Module):
         attns, scored1 = [], None
         layer1 = TransLayer(self.dim, self.heads, use_flash=self.use_flash, name="layer1")
         if return_attn:
-            x, a, v, scored1 = layer1(
-                x, full_mask, training=training, need_attn=True, no_norm=no_norm
-            )
+            x, a, v, scored1 = layer1(x, full_mask, training, True, no_norm)
             attns.append(a[:, :, 1:])
         else:
-            x = layer1(x, full_mask, training=training)
+            x = layer1(x, full_mask, training, False, False)
 
         # Positional embedding between the two layers (pos_pos=0, reference
         # baseline.py:234-241,264-266): ppeg | sincos | peg | none. SINCOS
@@ -96,12 +94,10 @@ class SAttentionBaseline(nn.Module):
 
         layer2 = TransLayer(self.dim, self.heads, use_flash=self.use_flash, name="layer2")
         if return_attn and 1 in self.attn_layers:
-            x, a, *_ = layer2(
-                x, full_mask, training=training, need_attn=True, no_norm=no_norm
-            )
+            x, a, *_ = layer2(x, full_mask, training, True, no_norm)
             attns.append(a[:, :, 1:])
         else:
-            x = layer2(x, full_mask, training=training)
+            x = layer2(x, full_mask, training, False, False)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         out = {"cls_feat": x[:, 0]}

@@ -184,8 +184,14 @@ class TransLayer(nn.Module):
     parity: bool = False
     use_flash: bool = False
 
+    # The bool flags are positional-or-keyword (and call sites pass all of
+    # them) so ``nn.remat(TransLayer, static_argnums=(3, 4, 5))`` is wireable.
+    # Measured at the bench geometry it LOSES: 21.75 vs 20.36 ms/step — the
+    # streamed Nystrom already materializes no [N,N]-scale intermediates, so
+    # remat saves little traffic while re-paying the VPU-bound depthwise convs
+    # in the backward. Left unwired on purpose.
     @nn.compact
-    def __call__(self, x, mask, *, training=False, need_attn=False, no_norm=False):
+    def __call__(self, x, mask, training=False, need_attn=False, no_norm=False):
         msa = NystromMSA(
             dim=self.dim,
             heads=self.heads,
@@ -255,10 +261,10 @@ class TransMIL(nn.Module):
         attns = []
         layer1 = TransLayer(self.inner_dim, self.n_heads, self.parity, self.use_flash, name="layer1")
         if return_attn:
-            x, a, *_ = layer1(x, full_mask, training=training, need_attn=True)
+            x, a, *_ = layer1(x, full_mask, training, True, False)
             attns.append(a[:, :, 1:])  # drop cls column
         else:
-            x = layer1(x, full_mask, training=training)
+            x = layer1(x, full_mask, training, False, False)
 
         # ppeg | sincos | peg | none between the layers. The reference
         # TransMIL hardcodes PPEG (transmil.py:50-64); sincos/peg extend the
@@ -281,10 +287,10 @@ class TransMIL(nn.Module):
 
         layer2 = TransLayer(self.inner_dim, self.n_heads, self.parity, self.use_flash, name="layer2")
         if return_attn:
-            x, a, *_ = layer2(x, full_mask, training=training, need_attn=True)
+            x, a, *_ = layer2(x, full_mask, training, True, False)
             attns.append(a[:, :, 1:])
         else:
-            x = layer2(x, full_mask, training=training)
+            x = layer2(x, full_mask, training, False, False)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)[:, 0]
         logits = dense(self.n_classes, self.mil_bias, name="classifier")(x)
