@@ -31,6 +31,7 @@ derivation" for the full accounting):
 
 from __future__ import annotations
 
+import os
 import json
 import time
 
@@ -212,7 +213,7 @@ def main() -> None:
     #    upper bound; the physical bound is step_ms x measured-HBM.
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     import roofline as RL
 
     step_ms = BATCH / dense_bps * 1000
@@ -220,7 +221,10 @@ def main() -> None:
         _, costs = RL.cost_analysis(step, state, batch)
     except Exception:
         costs = {"flops": float("nan"), "bytes_accessed": float("nan")}
-    hbm_gbps = RL.measure_hbm_ceiling()
+    try:
+        hbm_gbps = RL.measure_hbm_ceiling()
+    except Exception:
+        hbm_gbps = float("nan")
     peak_tflops = 197.0  # v5e bf16; matmul fusions profile at ~180 here
     roofline = {
         "step_ms": round(step_ms, 3),
@@ -260,7 +264,8 @@ def main() -> None:
             "(see BASELINE.md)",
         },
     }
-    with open("bench_detail.json", "w") as f:
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
     print(

@@ -466,6 +466,12 @@ def import_swin_chief(sd: Dict[str, Any]) -> Dict[str, Any]:
     params["patch_embed"] = pe
 
     n_stages = sum(1 for k in sd if k.endswith(".blocks.0.norm1.weight") and k.startswith("layers."))
+    # Discriminate the two timm patch-merging layouts ONCE: only the old
+    # layout (downsample at stage end) has layers.0.downsample. Probing both
+    # key families per-stage would hand merge{si} the *previous* stage's
+    # reduction in the new layout (layers.{si}.downsample there belongs to
+    # merge{si-1}) and fail with a dot-shape mismatch at apply time.
+    old_merge_layout = "layers.0.downsample.reduction.weight" in sd
     for si in range(n_stages):
         bi = 0
         while f"layers.{si}.blocks.{bi}.norm1.weight" in sd:
@@ -491,14 +497,14 @@ def import_swin_chief(sd: Dict[str, Any]) -> Dict[str, Any]:
             }
             bi += 1
         # patch merging after stage si (old timm) or before stage si+1 (new)
-        for src in (f"layers.{si}.downsample", f"layers.{si + 1}.downsample"):
-            if f"{src}.reduction.weight" in sd and f"merge{si}" not in params:
-                params[f"merge{si}"] = {
-                    "norm": {"scale": _t(sd[f"{src}.norm.weight"]),
-                             "bias": _t(sd[f"{src}.norm.bias"])},
-                    "reduction": {"kernel": _t(sd[f"{src}.reduction.weight"]).T},
-                }
-                break
+        src = (f"layers.{si}.downsample" if old_merge_layout
+               else f"layers.{si + 1}.downsample")
+        if f"{src}.reduction.weight" in sd:
+            params[f"merge{si}"] = {
+                "norm": {"scale": _t(sd[f"{src}.norm.weight"]),
+                         "bias": _t(sd[f"{src}.norm.bias"])},
+                "reduction": {"kernel": _t(sd[f"{src}.reduction.weight"]).T},
+            }
     params["norm"] = {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])}
     return {"params": params, "batch_stats": stats}
 
@@ -946,9 +952,18 @@ def get_encoder(
             )
             variables = jax.tree.map(jnp.asarray, import_vit(sd))
         else:
-            sd = {k: v for k, v in sd.items() if k.startswith("visual.") or not any(
-                k.startswith(p) for p in ("text.", "logit_scale", "token_emb")
-            )}
+            if any(k.startswith("visual.") for k in sd):
+                # A full classic-CLIP checkpoint carries its text tower at the
+                # TOP level (transformer.resblocks.*, ln_final.*, the 77-token
+                # positional_embedding, text_projection); after
+                # import_clip_visual strips the ``visual.`` prefix those keys
+                # would collide with — and overwrite — the visual ones. Keep
+                # strictly the visual tower.
+                sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
+            else:
+                sd = {k: v for k, v in sd.items() if not any(
+                    k.startswith(p) for p in ("text.", "logit_scale", "token_emb")
+                )}
             dim = int(_t(sd.get("visual.class_embedding",
                                 sd.get("class_embedding"))).reshape(-1).shape[0])
             probe = {k.split("visual.", 1)[-1]: v for k, v in sd.items()}

@@ -248,6 +248,16 @@ class PyramidalTiff:
 
     def __init__(self, path: str, tile_cache: int = 256):
         self._f = open(path, "rb")
+        try:
+            self._parse(tile_cache)
+        except Exception:
+            # open_slide swallows UnsupportedTiffError to fall back to
+            # RasterSlide — without this, every unsupported TIFF in a sweep
+            # would leak one OS file handle until GC.
+            self._f.close()
+            raise
+
+    def _parse(self, tile_cache: int) -> None:
         head = self._f.read(4)
         if head[:2] == b"II":
             bo = "<"
@@ -341,9 +351,15 @@ class PyramidalTiff:
         consumes it the same way in Whole_Slide_Bag_FP,
         CLAM/dataset_modules/dataset_h5.py:79-84). Out-of-bounds area is
         zero-filled."""
-        p = self._pages[level]
         ds = self.level_downsamples[level]
-        x0, y0 = int(location[0] / ds), int(location[1] / ds)
+        return self._read_level(
+            int(location[0] / ds), int(location[1] / ds), level, size
+        )
+
+    def _read_level(self, x0: int, y0: int, level: int, size: Tuple[int, int]) -> np.ndarray:
+        """``read_region`` with the origin already in LEVEL coordinates
+        (avoids the level-0 float round-trip for internal callers)."""
+        p = self._pages[level]
         w, h = size
         out = np.zeros((h, w, 3), np.uint8)
         x1, y1 = min(x0 + w, p.width), min(y0 + h, p.height)
@@ -371,9 +387,22 @@ class PyramidalTiff:
         `seg_level` the same way, WholeSlideImage.py:144)."""
         lv = self.level_count - 1
         w, h = self.level_dimensions[lv]
-        img = self.read_region((0, 0), lv, (w, h))
         step = max(1, int(np.ceil(max(w, h) / max_size)))
-        return img[::step, ::step]
+        # Stream one band of tile rows at a time: a shallow pyramid (the
+        # levels=1 converter output) would otherwise materialize its full
+        # level 0 (e.g. ~30 GB at 100k x 100k) just to make a 2k thumbnail.
+        p = self._pages[lv]
+        ys = np.arange(0, h, step)
+        xs = np.arange(0, w, step)
+        out = np.empty((len(ys), len(xs), 3), np.uint8)
+        for ty in range((h + p.th - 1) // p.th):
+            yy0, yy1 = ty * p.th, min((ty + 1) * p.th, h)
+            sel = (ys >= yy0) & (ys < yy1)
+            if not sel.any():
+                continue
+            band = self._read_level(0, yy0, lv, (w, yy1 - yy0))
+            out[np.flatnonzero(sel)] = band[ys[sel] - yy0][:, xs]
+        return out
 
     def close(self):
         self._f.close()

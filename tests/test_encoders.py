@@ -528,6 +528,76 @@ def test_clip_visual_golden(tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
 
 
+def test_swin_chief_new_timm_layout():
+    """New-timm checkpoints keep the patch merging at the START of the next
+    stage (layers.{i+1}.downsample). Regression: probing both key families
+    per-stage handed merge{i} the previous stage's reduction (layers.1 for
+    both merge0 and merge1), which fails at apply time with a shape error."""
+    from mhim_mil_tpu.preprocess.encoders import SwinChief, import_swin_chief
+
+    torch.manual_seed(5)
+    tmodel = _TorchSwinChief().eval()
+    _randomize_bn_stats(tmodel, 6)
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    # rewrite the state dict into the new layout: stage-end downsample ->
+    # start of the following stage
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        if ".downsample." in k:
+            si = int(k.split(".")[1])
+            k = k.replace(f"layers.{si}.downsample.", f"layers.{si + 1}.downsample.")
+        sd[k] = v
+    fmodel = SwinChief(embed_dim=16, depths=(1, 1, 2, 1), heads=(1, 2, 4, 8))
+    variables = jax.tree.map(jnp.asarray, import_swin_chief(sd))
+    out = fmodel.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_conch_classic_full_checkpoint_ignores_text_tower(tmp_path):
+    """A full classic-CLIP checkpoint carries the text tower at the TOP level
+    (transformer.resblocks.*, ln_final.*, a 77-token positional_embedding,
+    text_projection). Regression: those keys survived the filter and, after
+    the ``visual.`` prefix strip, overwrote the visual resblocks."""
+    from mhim_mil_tpu.preprocess.encoders import get_encoder
+
+    torch.manual_seed(4)
+    tmodel = _TorchCLIPVisual().eval()
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    sd = {f"visual.{k}": v for k, v in tmodel.state_dict().items()}
+    # text tower in OpenAI/open_clip top-level naming, with dims that differ
+    # from the visual tower so any leakage breaks shapes or values
+    d_txt = 32
+    sd["positional_embedding"] = torch.randn(77, d_txt)
+    sd["text_projection"] = torch.randn(d_txt, d_txt)
+    sd["logit_scale"] = torch.tensor(2.6592)
+    sd["token_embedding.weight"] = torch.randn(99, d_txt)
+    sd["ln_final.weight"] = torch.randn(d_txt)
+    sd["ln_final.bias"] = torch.randn(d_txt)
+    for bi in range(2):
+        for part, shapes in (
+            ("attn.in_proj_weight", (3 * d_txt, d_txt)),
+            ("attn.in_proj_bias", (3 * d_txt,)),
+            ("attn.out_proj.weight", (d_txt, d_txt)),
+            ("attn.out_proj.bias", (d_txt,)),
+            ("ln_1.weight", (d_txt,)), ("ln_1.bias", (d_txt,)),
+            ("ln_2.weight", (d_txt,)), ("ln_2.bias", (d_txt,)),
+            ("mlp.c_fc.weight", (4 * d_txt, d_txt)),
+            ("mlp.c_fc.bias", (4 * d_txt,)),
+            ("mlp.c_proj.weight", (d_txt, 4 * d_txt)),
+            ("mlp.c_proj.bias", (d_txt,)),
+        ):
+            sd[f"transformer.resblocks.{bi}.{part}"] = torch.randn(*shapes)
+    p = tmp_path / "clip_full.pt"
+    torch.save(sd, p)
+    fn, _ = get_encoder("conch_v1", str(p))
+    out = np.asarray(fn(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
 def test_conch_trunk_naming_routes_to_vit(tmp_path):
     """CoCa-style CONCH checkpoints carry a timm trunk (visual.trunk.*):
     the registry must route them through the golden ViT importer."""

@@ -116,6 +116,43 @@ def test_native_codec_matches_python(tmp_path):
         assert native.lzw_decode(enc, len(payloads[1])) == _lzw_decode_py(enc)
 
 
+def test_thumbnail_streams_and_matches_full_decode(tmp_path):
+    """get_thumbnail decimates tile-row bands instead of materializing the
+    level (regression: a levels=1 TIFF decoded its entire level 0 for a 2k
+    thumbnail). The streamed result must equal the naive full-read path."""
+    img = _smooth_img(530, 710, seed=3)
+    p = str(tmp_path / "one_level.tiff")
+    write_pyramidal_tiff(p, img, levels=1, tile=128)
+    s = PyramidalTiff(p)
+    th = s.get_thumbnail(100)
+    step = int(np.ceil(710 / 100))
+    np.testing.assert_array_equal(th, img[::step, ::step])
+    assert max(th.shape[:2]) <= 100
+    s.close()
+
+
+def test_unsupported_tiff_closes_file(tmp_path):
+    """Failed construction must not leak the file handle (regression:
+    open_slide's RasterSlide fallback left the fd open until GC)."""
+    import gc
+    import os
+
+    img = _smooth_img(64, 80)
+    p = str(tmp_path / "bogus.tiff")
+    Image.fromarray(img).save(p, format="PNG")  # not a TIFF
+    gc.collect()
+    gc.disable()  # keep CPython from closing a leaked fd behind our back
+    try:
+        before = len(os.listdir("/proc/self/fd"))
+        for _ in range(20):
+            s = open_slide(p)
+            assert isinstance(s, RasterSlide)
+        after = len(os.listdir("/proc/self/fd"))
+    finally:
+        gc.enable()
+    assert after <= before + 1  # no fd growth across 20 fallbacks
+
+
 def test_open_slide_fallback(tmp_path):
     img = _smooth_img(64, 80)
     p = str(tmp_path / "flat.png")

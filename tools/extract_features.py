@@ -103,6 +103,13 @@ def process_slide(path, fn, norm, args, params=None):
     # a single-level wrapper (preprocess/tiff.py open_slide — the reference
     # calls openslide.open_slide the same way, WholeSlideImage.py:32).
     slide = open_slide(path)
+    try:
+        return _process_open_slide(slide, path, fn, norm, args, p)
+    finally:
+        slide.close()
+
+
+def _process_open_slide(slide, path, fn, norm, args, p):
     w0, h0 = slide.dimensions
     # Segment on a low pyramid level / bounded thumbnail (reference segments
     # at seg_level, WholeSlideImage.py:91-183).
@@ -135,7 +142,6 @@ def process_slide(path, fn, norm, args, params=None):
             os.path.join(args.save_dir, "stitches"), sid, thumb, coords,
             p["patch_size"], full_hw=(h0, w0),
         )
-    slide.close()
     return sid, len(coords)
 
 
