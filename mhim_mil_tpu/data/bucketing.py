@@ -88,3 +88,23 @@ def batch_bags(
             if with_pos:
                 batch["pos"] = pos
             yield batch
+
+
+def count_batches(
+    slides: List[Dict],
+    batch_size: int,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    drop_last: bool = False,
+) -> int:
+    """Number of batches :func:`batch_bags` will emit, in O(#slides).
+
+    The driver needs the per-epoch step count before building the LR
+    schedule; counting by exhausting the generator would materialize (and
+    discard) every zero-padded ``[B, bucket, D]`` batch first."""
+    counts: Dict[int, int] = {}
+    for s in slides:
+        b = pick_bucket(len(s["feats"]), buckets)
+        counts[b] = counts.get(b, 0) + 1
+    if drop_last:
+        return sum(c // batch_size for c in counts.values())
+    return sum(-(-c // batch_size) for c in counts.values())

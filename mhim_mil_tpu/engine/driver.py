@@ -256,8 +256,12 @@ def _host_loss(cfg, logits, targets, cens, events, keep):
 
 def _build_fold(cfg: Config, train_slides, fold_seed: int):
     model, family = build_model(cfg)
+    from ..data.bucketing import count_batches
+
+    # O(#slides) count — exhausting _iter_batches here would materialize
+    # every zero-padded [B, bucket, D] batch of the epoch just to len() it.
     n_batches = max(
-        1, len(list(_iter_batches(cfg, train_slides, shuffle=False, seed=0)))
+        1, count_batches(train_slides, cfg.batch_size, cfg.bucket_sizes)
     )
     lr_sched = make_lr_schedule(cfg, n_batches)
     sample = None

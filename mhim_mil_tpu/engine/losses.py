@@ -37,16 +37,18 @@ def bce_with_logits(logits: jax.Array, labels: jax.Array, weights=None) -> jax.A
     return _wmean(jnp.mean(per, axis=-1), weights)
 
 
-def soft_target_ce(student: jax.Array, teacher: jax.Array, temp_t: float = 1.0, temp_s: float = 1.0) -> jax.Array:
+def soft_target_ce(student: jax.Array, teacher: jax.Array, temp_t: float = 1.0, temp_s: float = 1.0, weights=None) -> jax.Array:
     """MHIM consistency loss: ``-softmax(teacher/Tt) · log_softmax(student/Ts)``
     over feature vectors (reference: modules/mhim_modules/losses.py:26-45).
-    The teacher side is stop-gradiented by the caller.
+    The teacher side is stop-gradiented by the caller. ``weights`` excludes
+    the zero-padded fake bags of short final batches (the package-wide
+    convention; the reference trains batch=1 and never pads).
     """
     student = student.astype(jnp.float32)
     teacher = teacher.astype(jnp.float32)
     t = jax.nn.softmax(teacher / temp_t, axis=-1)
     ls = jax.nn.log_softmax(student / temp_s, axis=-1)
-    return jnp.mean(jnp.sum(-t * ls, axis=-1))
+    return _wmean(jnp.sum(-t * ls, axis=-1), weights)
 
 
 def nll_surv_loss(logits: jax.Array, y_bin: jax.Array, censorship: jax.Array, alpha: float = 0.0, eps: float = 1e-7, weights=None) -> jax.Array:

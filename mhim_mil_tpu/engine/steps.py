@@ -49,7 +49,6 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
       - ``mhim`` / ``mhim_pure``: handled in models/mhim.py's step builders.
     """
     criterion = build_criterion(cfg)
-    total_steps = cfg.num_epoch * steps_per_epoch
 
     def loss_fn(params, model_state, rng, batch, step):
         params, batch = cast_compute(cfg, params, batch)

@@ -95,8 +95,18 @@ class Merge(nn.Module):
             norm(x), norm(q), kv_mask, training=training
         )
         if training and self.g_q_mm != 1.0:
-            new = jnp.mean(z[:, : self.k], axis=0, keepdims=True)
-            g_q.value = self.g_q_mm * g_q.value + (1.0 - self.g_q_mm) * jax.lax.stop_gradient(new)
+            # Batch mean over REAL bags only: a fake zero-padded bag
+            # (kv_mask all-False) collapses z to the MCA to_out bias, and an
+            # unweighted mean would drift the EMA buffer toward that bias on
+            # every short final batch. If the whole batch is fake the update
+            # is a no-op.
+            w = jnp.any(kv_mask, axis=-1).astype(jnp.float32)
+            wsum = jnp.sum(w)
+            new = jnp.sum(
+                z[:, : self.k] * w[:, None, None], axis=0, keepdims=True
+            ) / jnp.maximum(wsum, 1.0)
+            alpha = (1.0 - self.g_q_mm) * jnp.minimum(wsum, 1.0)
+            g_q.value = (1.0 - alpha) * g_q.value + alpha * jax.lax.stop_gradient(new)
         return z
 
     def __call__(self, x, visible, *, training: bool = False, rng=None):

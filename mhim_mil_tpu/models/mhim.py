@@ -129,13 +129,20 @@ class MHIM(nn.Module):
 
     # ---- teacher ------------------------------------------------------------
 
-    def forward_teacher(self, feats, mask):
-        """Teacher pass (reference mhim.py:181-227): full bag, eval-mode
-        internals, returns ``(cls_feat, mining_score)``. Gradients are cut by
-        the caller (teacher params are EMA state, never differentiated).
+    def forward_teacher(self, feats, mask, *, training: bool = False):
+        """Teacher pass (reference mhim.py:181-227): full bag, returns
+        ``(cls_feat, mining_score)``. Gradients are cut by the caller
+        (teacher params are EMA state, never differentiated).
+
+        The reference runs the EMA teacher in TRAIN mode during training —
+        ``model_ema.train()`` before each epoch (base_engine.py:37-38) with
+        ``@torch.no_grad()`` only cutting autograd (mhim.py:181) — so the
+        teacher's dropouts are ACTIVE while mining. The train step therefore
+        passes ``training=True`` (with a dropout rng); eval/export paths and
+        the golden parity tests use the deterministic default.
         """
-        x = self.feature(feats, training=False)
-        out = self.online_encoder(x, mask, training=False, return_attn=True)
+        x = self.feature(feats, training=training)
+        out = self.online_encoder(x, mask, training=training, return_attn=True)
 
         if self.baseline == "dsmil":
             return out["bag_feat"], out["attn"]  # attn = max class logit [B,N]
@@ -211,13 +218,23 @@ class MHIM(nn.Module):
 
         if self.merge_enable:
             keep_sel, merged = self.merge(x, vis, training=training)
-            # +1 absorbs f32 rounding in the traced per-bag keep counts.
-            s_len = max(1, min(int(v_static * self.merge_ratio) + 1, v_static))
-            x_c, new_valid, _ = compact(x, keep_sel, out_len=s_len)
-            x = jnp.concatenate([x_c, merged], axis=1)
-            valid = jnp.concatenate(
-                [new_valid, jnp.ones((b, self.merge_k), bool)], axis=1
-            )
+            if training:
+                # +1 absorbs f32 rounding in the traced per-bag keep counts.
+                s_len = max(1, min(int(v_static * self.merge_ratio) + 1, v_static))
+                x_c, new_valid, _ = compact(x, keep_sel, out_len=s_len)
+                x = jnp.concatenate([x_c, merged], axis=1)
+                valid = jnp.concatenate(
+                    [new_valid, jnp.ones((b, self.merge_k), bool)], axis=1
+                )
+            else:
+                # Eval-mode Merge keeps EVERY visible token (keep_sel == vis,
+                # reference merge.py:178-203) — compacting to the training
+                # bound would silently drop ~(1-merge_ratio) of them. Same
+                # shape as forward_test's merge_test path.
+                x = jnp.concatenate([x, merged], axis=1)
+                valid = jnp.concatenate(
+                    [vis, jnp.ones((b, self.merge_k), bool)], axis=1
+                )
         else:
             valid = vis
 
@@ -232,11 +249,14 @@ class MHIM(nn.Module):
 
         aux_loss = 0.0
         if teacher_cls_feat is not None:
+            # Fake zero-padded bags (mask all-False, bucketing.py) must not
+            # contribute: their cls features are cls-token-only garbage.
             aux_loss = soft_target_ce(
                 cls_feat,
                 jax.lax.stop_gradient(teacher_cls_feat),
                 self.temp_t,
                 self.temp_s,
+                weights=jnp.any(mask, axis=-1),
             )
 
         return {
@@ -340,7 +360,7 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
     mm_sche = cosine_schedule(cfg.mm, 1.0, total_steps) if cfg.mm_sche else None
 
     def loss_fn(params, model_state, teacher_params, rng, batch, step):
-        drop_rng, mask_rng = jax.random.split(rng)
+        drop_rng, mask_rng, tea_rng = jax.random.split(rng, 3)
         rngs = {"dropout": drop_rng, "mask": mask_rng}
         params, batch = cast_compute(cfg, params, batch)
         teacher_params, _ = cast_compute(cfg, teacher_params, {})
@@ -354,9 +374,12 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
                 method=MHIM.pure,
             )
         else:
+            # training=True: the reference's EMA teacher mines with dropout
+            # ACTIVE (model_ema.train(), base_engine.py:37-38).
             cls_tea, attn = model.apply(
                 {"params": teacher_params, **model_state},
                 batch["feats"], batch["mask"],
+                training=True, rngs={"dropout": tea_rng},
                 method=MHIM.forward_teacher,
             )
             cls_tea = None if cfg.aux_alpha == 0.0 else jax.lax.stop_gradient(cls_tea)

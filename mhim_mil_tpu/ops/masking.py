@@ -146,7 +146,8 @@ class MaskSchedule:
     mask_ratio_h: float = 0.0
     mask_ratio_hr: float = 1.0
     msa_fusion: str = "vote"
-    select_inv: bool = False
+    # The reference's ``select_inv`` (keep the selected set instead of its
+    # complement) is hardcoded False there (mhim.py:59) and excluded here.
 
 
 def layered_mask(
@@ -168,7 +169,7 @@ def layered_mask(
     traced schedule value (the reference's ``mrh_sche[i]``).
 
     Returns the boolean *removal* mask; the student keeps
-    ``valid & ~removed`` (or ``removed`` when ``sched.select_inv``).
+    ``valid & ~removed``.
     """
     removed = None
     if attn is None:

@@ -201,3 +201,26 @@ def test_coords_to_grid_anisotropic_downsample():
     # scalar / single-element downsample still broadcasts to both axes
     grid = coords_to_grid(coords, {"patch_size": 256, "downsample": [2]})
     np.testing.assert_array_equal(grid, [[0, 0], [0, 2], [1, 4]])
+
+
+def test_count_batches_matches_generator():
+    """count_batches must agree with exhausting batch_bags for every
+    bucket/drop_last combination (the driver builds LR schedules from it
+    without materializing the epoch)."""
+    import numpy as np
+
+    from mhim_mil_tpu.data.bucketing import batch_bags, count_batches
+
+    rng = np.random.default_rng(0)
+    slides = [
+        {"feats": rng.normal(size=(n, 4)).astype(np.float32), "target": 0}
+        for n in rng.integers(3, 600, size=23)
+    ]
+    for bs in (1, 2, 4, 5):
+        for buckets in ((8, 64, 512), (16, 1024)):
+            for drop_last in (False, True):
+                want = len(list(
+                    batch_bags(slides, bs, buckets, drop_last=drop_last)
+                ))
+                got = count_batches(slides, bs, buckets, drop_last=drop_last)
+                assert got == want, (bs, buckets, drop_last, got, want)

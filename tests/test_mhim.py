@@ -166,3 +166,88 @@ def test_mhim_student_sees_compacted_slice():
         assert np.isfinite(float(m["loss"]))
         # keep_num = merged-in tokens + merge_k summaries, always > 0
         assert float(m["keep_num"]) > 0
+
+
+def test_fake_bag_invariance_aux_and_global_q():
+    """Zero-padded fake bags (bag_valid=False) must not affect the aux
+    consistency loss or the Merge global_q EMA buffer (regression: both
+    averaged over the full batch including fake bags)."""
+    cfg, model, family, state, batches = _setup("mhim", "attn")
+    b = batches[0]
+    real = {
+        "feats": b["feats"][:1],
+        "mask": b["mask"][:1],
+        "bag_valid": b["bag_valid"][:1],
+        "target": b["target"][:1],
+    }
+    padded = {
+        "feats": jnp.concatenate([real["feats"], jnp.zeros_like(real["feats"])]),
+        "mask": jnp.concatenate([real["mask"], jnp.zeros_like(real["mask"])]),
+        "bag_valid": jnp.asarray([True, False]),
+        "target": jnp.concatenate([real["target"], jnp.zeros_like(real["target"])]),
+    }
+    rngs = {
+        "dropout": jax.random.PRNGKey(7),
+        "mask": jax.random.PRNGKey(8),
+    }
+    attn_r = jnp.abs(jax.random.normal(jax.random.PRNGKey(9), real["mask"].shape))
+    attn_p = jnp.concatenate([attn_r, jnp.zeros_like(attn_r)])
+    tea_r = jax.random.normal(jax.random.PRNGKey(10), (1, cfg.inner_dim))
+    tea_p = jnp.concatenate([tea_r, jnp.zeros_like(tea_r)])
+
+    def run(batch, attn, tea):
+        out, new_state = model.apply(
+            {"params": state.params, **state.model_state},
+            batch["feats"], batch["mask"], attn, tea, None,
+            training=True, rngs=rngs,
+            mutable=list(state.model_state.keys()),
+        )
+        return out["aux_loss"], new_state
+
+    aux_r, st_r = run(real, attn_r, tea_r)
+    aux_p, st_p = run(padded, attn_p, tea_p)
+    np.testing.assert_allclose(np.asarray(aux_r), np.asarray(aux_p), rtol=1e-5)
+    gq_r = jax.tree_util.tree_leaves(st_r)[0]
+    gq_p = jax.tree_util.tree_leaves(st_p)[0]
+    np.testing.assert_allclose(
+        np.asarray(gq_r), np.asarray(gq_p), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_teacher_dropout_active_in_train_mode():
+    """The reference's EMA teacher mines in TRAIN mode (model_ema.train(),
+    base_engine.py:37-38), so forward_teacher(training=True) must be
+    stochastic across dropout rngs while the default stays deterministic."""
+    from mhim_mil_tpu.models.mhim import MHIM
+
+    cfg, model, family, state, batches = _setup("mhim", "attn", dropout=0.25)
+    b = batches[0]
+    v = {"params": state.params, **state.model_state}
+
+    def tea(rng_seed, training):
+        kw = (
+            {"rngs": {"dropout": jax.random.PRNGKey(rng_seed)}}
+            if training else {}
+        )
+        cls, attn = model.apply(
+            v, b["feats"], b["mask"], training=training,
+            method=MHIM.forward_teacher, **kw,
+        )
+        return np.asarray(cls, np.float32)
+
+    assert not np.allclose(tea(0, True), tea(1, True))  # dropout active
+    np.testing.assert_array_equal(tea(0, False), tea(0, False))  # eval det.
+
+
+def test_mhim_eval_mode_merge_keeps_all_tokens():
+    """__call__ with training=False and merge enabled must not truncate to
+    the training keep bound (regression: compact() silently dropped
+    ~(1-merge_ratio) of the visible tokens)."""
+    cfg, model, family, state, batches = _setup("mhim", "attn")
+    b = batches[0]
+    out = model.apply(
+        {"params": state.params, **state.model_state},
+        b["feats"], b["mask"], None, None, None, training=False,
+    )
+    want = np.asarray(jnp.sum(b["mask"], -1) + cfg.merge_k)
+    np.testing.assert_array_equal(np.asarray(out["keep_num"]), want)
