@@ -457,6 +457,7 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         print(f"[fold {fold}] resumed at epoch {epoch_start}")
 
     profiling = False
+    interrupted = False
     for epoch in range(epoch_start, cfg.num_epoch):
         # --profile: trace the first trained epoch (the reference's flag is
         # consumed nowhere, options.py:184; here it emits a TensorBoard-
@@ -466,26 +467,37 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             profiling = True
         t0 = time.time()
         n_steps = 0
-        loss_sum = None
+        meter_sums: Dict[str, object] = {}
         # --script_mode no_train: keep the epoch/validation machinery but
         # skip parameter updates (reference main.py:263-268)
         if cfg.script_mode != "no_train":
-            for jb in _prefetch_to_device(
-                _iter_batches(
-                    cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
-                    patch_shuffle=cfg.patch_shuffle,
-                ),
-                mesh, shard_instances,
-            ):
-                state, tm = train_step(state, jb)
-                # epoch-mean loss meter (reference base_engine.py:179-218);
-                # the sum accumulates lazily on device — one host fetch/epoch.
-                loss_sum = tm["loss"] if loss_sum is None else loss_sum + tm["loss"]
-                n_steps += 1
-        train_loss = float(loss_sum) / n_steps if n_steps else 0.0
+            try:
+                for jb in _prefetch_to_device(
+                    _iter_batches(
+                        cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
+                        patch_shuffle=cfg.patch_shuffle,
+                    ),
+                    mesh, shard_instances,
+                ):
+                    state, tm = train_step(state, jb)
+                    # epoch-mean meters (reference base_engine.py:16-21,
+                    # 179-218: loss + MHIM patch_num/keep_num/mm); the sums
+                    # accumulate lazily on device — one host fetch/epoch.
+                    for k, v in tm.items():
+                        meter_sums[k] = v if k not in meter_sums else meter_sums[k] + v
+                    n_steps += 1
+            except KeyboardInterrupt:
+                # Ctrl-C falls through to the final test on the best-so-far
+                # checkpoints (reference main.py:381-382).
+                print(f"[fold {fold}] interrupted — running final test")
+                interrupted = True
+        meters = {k: float(v) / n_steps for k, v in meter_sums.items()} if n_steps else {}
+        train_loss = meters.get("loss", 0.0)
         if profiling:
             jax.profiler.stop_trace()
             profiling = False
+        if interrupted:
+            break
 
         # --script_mode only_train: no per-epoch validation or selection
         # (reference main.py:270-271)
@@ -525,6 +537,9 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
             {
                 "epoch": epoch,
                 "train_loss": train_loss,
+                # MHIM training internals (reference base_engine.py:16-21
+                # meters: patch_num/keep_num/mm), epoch means
+                **{k: v for k, v in meters.items() if k != "loss"},
                 "val": {k: v for k, v in row.items() if not k.startswith("_")},
                 "time": time.time() - t0,
             }
@@ -532,6 +547,8 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         if logger is not None:
             logger.log(
                 {f"fold{fold}/train_loss": train_loss,
+                 **{f"fold{fold}/train_{k}": v for k, v in meters.items()
+                    if k != "loss"},
                  **{f"fold{fold}/val_{k}": v for k, v in row.items()
                     if isinstance(v, (int, float)) and not k.startswith("_")}},
                 step=epoch,

@@ -433,3 +433,54 @@ def test_script_mode_test_reports_ema_row(tmp_path):
         assert "test_ema" in f
         assert np.isfinite(f["test_ema"]["auc"])
     assert "summary_ema" in res
+
+
+def test_keyboard_interrupt_falls_through_to_final_test(monkeypatch):
+    """Ctrl-C mid-training must still produce fold results from the
+    best-so-far checkpoint (reference main.py:381-382 catches
+    KeyboardInterrupt around the epoch loop and runs the final test)."""
+    import mhim_mil_tpu.engine.driver as drv
+
+    orig = drv._iter_batches
+    calls = {"n": 0}
+
+    def interrupting(cfg, slides, **kw):
+        if not kw.get("shuffle"):  # eval staging / sample building
+            yield from orig(cfg, slides, **kw)
+            return
+        calls["n"] += 1
+        yield from orig(cfg, slides, **kw)
+        if calls["n"] >= 3:  # let train epochs 0-1 finish, interrupt in 2
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(drv, "_iter_batches", interrupting)
+    cfg = load_config(
+        [], model="abmil", datasets="synth", input_dim=32, inner_dim=32,
+        synth_n_slides=16, synth_bag_size=64, bucket_sizes=(64,),
+        batch_size=4, cv_fold=2, num_epoch=50, max_epoch=50, lr=1e-3,
+        lr_sche="const", num_bootstrap=0, output_path="",
+    )
+    res = run_experiment(cfg)
+    # interrupted long before epoch 50, yet both folds report a test row
+    assert len(res["folds"]) == 2
+    for fold in res["folds"]:
+        assert "auc" in fold["test"]
+        assert len(fold["history"]) < 50
+
+
+def test_train_meters_in_history():
+    """MHIM training internals (patch_num/keep_num/mm, reference
+    base_engine.py:16-21 meters) surface as epoch means in the history."""
+    cfg = load_config(
+        [], model="mhim", baseline="attn", datasets="synth", input_dim=32,
+        inner_dim=32, synth_n_slides=12, synth_bag_size=64,
+        bucket_sizes=(64,), batch_size=4, cv_fold=2, num_epoch=2,
+        max_epoch=2, lr=1e-3, lr_sche="const", num_bootstrap=0,
+        mask_ratio=0.5, mask_ratio_h=0.02, mask_ratio_hr=0.5,
+        aux_alpha=0.5, output_path="",
+    )
+    res = run_experiment(cfg)
+    h0 = res["folds"][0]["history"][0]
+    for key in ("patch_num", "keep_num", "mm", "main_loss"):
+        assert key in h0, (key, sorted(h0))
+    assert 0 < h0["keep_num"] <= h0["patch_num"] + cfg.merge_k
