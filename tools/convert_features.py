@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mhim_mil_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -34,6 +34,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mhim_mil_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 from mhim_mil_tpu.preprocess.encoders import get_encoder  # noqa: E402
 from mhim_mil_tpu.preprocess.extract import (  # noqa: E402
     extract_features,

@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mhim_mil_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 
 def measure(model_key: str, bag_size: int, input_dim: int, repeats: int, warmup: int):
     import jax

@@ -103,6 +103,9 @@ if __name__ == "__main__":
     sys.path.insert(0, ".")
     import jax
 
+    from mhim_mil_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from bench import _make_state_and_step

@@ -50,6 +50,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     sys.path.insert(0, ".")
+    from mhim_mil_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     from bench import _make_state_and_step, BATCH, BAG_SIZE, FEAT_DIM
 
     from mhim_mil_tpu.engine.steps import cast_compute
