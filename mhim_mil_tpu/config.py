@@ -146,6 +146,12 @@ class Config:
     script_mode: str = "all"  # all | no_train | test | only_train
     profile: bool = False  # jax.profiler trace of the first train epoch
     debug: bool = False  # nan-check every jitted output (jax_debug_nans)
+    # Experiment hygiene (reference utils.py:19-40 check_and_commit_changes):
+    # git SHA + dirty state are always recorded in the run log; auto_commit
+    # additionally commits a dirty tree before the run, as the reference does
+    # unconditionally under --wandb (opt-in here: committing as a side effect
+    # of launching a run is surprising).
+    auto_commit: bool = False
 
     # ---- TPU-specific (no reference equivalent) ----
     bucket_sizes: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)

@@ -632,12 +632,15 @@ def run_experiment(cfg: Config) -> Dict:
     results plus cross-fold mean±std of the test metrics."""
     import dataclasses
 
-    from ..utils.logging import RunLogger
+    from ..utils.logging import RunLogger, git_provenance
 
     logger = RunLogger(
         cfg.output_path, project=cfg.project, title=cfg.title,
         use_wandb=cfg.wandb, config=dataclasses.asdict(cfg),
     )
+    prov = git_provenance(auto_commit=cfg.auto_commit)
+    if prov:
+        logger.log({f"provenance/{k}": v for k, v in prov.items()})
     folds = get_folds(cfg)
     results = []
     for k, (tr, te, va) in enumerate(folds):

@@ -10,8 +10,48 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import time
 from typing import Dict, Optional
+
+
+def git_provenance(auto_commit: bool = False, cwd: Optional[str] = None) -> Dict:
+    """Run provenance à la reference ``check_and_commit_changes``
+    (reference: utils.py:19-40): record the git SHA and dirty/untracked
+    state of the working tree; with ``auto_commit`` additionally commit a
+    dirty tree ("Run Auto commit") so every logged run maps to a commit.
+    Degrades to ``{}`` outside a git checkout. Uses the git CLI directly —
+    GitPython is not a dependency of this framework.
+    """
+
+    def _git(*args):
+        return subprocess.run(
+            ("git",) + args, cwd=cwd, capture_output=True, text=True, timeout=30
+        )
+
+    try:
+        sha = _git("rev-parse", "HEAD")
+        if sha.returncode != 0:
+            return {}
+        status = _git("status", "--porcelain").stdout.splitlines()
+        dirty = [l for l in status if not l.startswith("??")]
+        untracked = [l for l in status if l.startswith("??")]
+        if auto_commit and (dirty or untracked):
+            _git("add", "-A")
+            _git("commit", "-m", "Run Auto commit")
+            # re-read instead of assuming success (commit can fail, e.g. no
+            # configured identity) — provenance must stay honest
+            sha = _git("rev-parse", "HEAD")
+            status = _git("status", "--porcelain").stdout.splitlines()
+            dirty = [l for l in status if not l.startswith("??")]
+            untracked = [l for l in status if l.startswith("??")]
+        return {
+            "git_sha": sha.stdout.strip(),
+            "git_dirty": bool(dirty),
+            "git_untracked": len(untracked),
+        }
+    except (OSError, subprocess.SubprocessError):
+        return {}
 
 
 class RunLogger:

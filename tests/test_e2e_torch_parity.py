@@ -50,6 +50,11 @@ def ref_train_env():
     if REF not in sys.path:
         sys.path.insert(0, REF)
 
+    if not torch.cuda.is_available():
+        # modules/clam.py:127,272 hard-code `SmoothTop1SVM(2).cuda()`; make
+        # .cuda() a no-op so the reference CLAM builds on this CPU-only box.
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+
     class _AverageMeter:
         def __init__(self):
             self.val = self.sum = self.count = 0.0
@@ -134,6 +139,30 @@ def ref_train_env():
             self.attn_layer = attn_layer
 
         MHIM.__init__ = _patched_init
+
+    # Same class of latent bug for meanmil/maxmil: build_mil passes the
+    # genera_model_params dict (modules/utils.py:59-67: mil_norm, mil_bias,
+    # inner_dim, pos) but MeanMIL/MaxMIL.__init__ accept none of those
+    # (modules/mean_max.py:15,40) — the shipped meanmil/maxmil paths crash.
+    # Absorb the kwargs; semantics unchanged (the models ignore them).
+    from modules import mean_max as _mm  # noqa: E402
+
+    for _cls in (_mm.MeanMIL, _mm.MaxMIL):
+        if "mil_norm" not in _cls.__init__.__code__.co_varnames:
+            def _mk(orig):
+                def _init(self, input_dim=1024, n_classes=1, dropout=True,
+                          act="relu", test=False, **_ignored):
+                    orig(self, input_dim, n_classes, dropout, act, test)
+                return _init
+            _cls.__init__ = _mk(_cls.__init__)
+        if "pos" not in _cls.forward.__code__.co_varnames:
+            # CommonMIL's default branch calls model(bag, pos=pos)
+            # (common_mil.py:43) which MeanMIL/MaxMIL.forward(x) rejects
+            def _mkf(orig):
+                def _fwd(self, x, **_ignored):
+                    return orig(self, x)
+                return _fwd
+            _cls.forward = _mkf(_cls.forward)
 
     return types.SimpleNamespace(
         torch=torch,
@@ -289,3 +318,318 @@ def test_mhim_training_parity_vs_reference(ref_train_env):
     assert ref_auc > 0.85, f"reference failed to learn: AUC={ref_auc:.3f}"
     assert our_auc > 0.85, f"ours failed to learn: AUC={our_auc:.3f}"
     assert abs(ref_auc - our_auc) < 0.10, (ref_auc, our_auc)
+
+
+# ---------------------------------------------------------------------------
+# Baseline-zoo training parity: the reference's default / clam / dsmil
+# CommonMIL branches (engines/common_mil.py:38-46) against our generic
+# family train steps (engine/steps.py), same dataset, same budget.
+#
+# Recipe differs from the MHIM fixture above: lr=1e-3 overshoots for the
+# plain aggregators (reference abmil plateaus at ~0.70 AUC there), so the
+# zoo uses the reference preset lr 2e-4 (config/feat_cls.yaml) on a
+# denser-witness fixture — probed so the REFERENCE side clears the bar
+# (abmil 0.96, transmil 0.89 at 20 epochs).
+# ---------------------------------------------------------------------------
+
+ZOO_EPOCHS = 20
+ZOO_LR = 2e-4
+
+
+def _zoo_data():
+    from mhim_mil_tpu.data.synthetic import make_synthetic_dataset
+
+    slides = make_synthetic_dataset(
+        n_slides=N_TRAIN + N_TEST, bag_size=BAG, feat_dim=HP["input_dim"],
+        witness_rate=0.25, signal=2.5, seed=SEED,
+    )
+    return slides[:N_TRAIN], slides[N_TRAIN:]
+
+
+def _train_reference_zoo(env, model_name, train_slides, test_slides):
+    """Reference train loop for a plain zoo model (no teacher), eval per
+    CommonMIL.validate_func semantics (common_mil.py:56-68: dsmil takes the
+    bag head, everything else the single logit tensor)."""
+    import contextlib
+    import random
+
+    torch = env.torch
+    torch.manual_seed(SEED)
+
+    loader = [
+        {
+            "input": torch.tensor(s["feats"][None], dtype=torch.float32),
+            "target": torch.tensor([int(s["target"])]),
+        }
+        for s in train_slides
+    ]
+    args, _ = env.parse(
+        override_dict=dict(
+            model=model_name, datasets="biosynth", batch_size=1,
+            accumulation_steps=1, seed=SEED, init_stu_type="none",
+            teacher_init=None, lr_sche="const", lr_supi=False,
+            clip_grad=None, amp=False, prefetch=False, patch_shuffle=False,
+            distributed=False, wandb=False, debug=False, rank=0,
+            world_size=1, fold_curr=0, log_iter=10_000,
+            input_dim=HP["input_dim"], n_classes=HP["n_classes"],
+            lr=ZOO_LR, weight_decay=HP["weight_decay"],
+            dropout=HP["dropout"], aux_alpha=1.0, main_alpha=1.0,
+            num_epoch=ZOO_EPOCHS,
+        )
+    )
+    device = torch.device("cpu")
+    args.device = device
+
+    model, others = env.build_model(args, device, loader)
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.Adam(
+        model.parameters(), lr=args.lr, weight_decay=args.weight_decay
+    )
+    trainer = env.BaseTrainer(env.CommonMIL(args), args)
+    amp_autocast = lambda **kw: contextlib.nullcontext()  # noqa: E731
+
+    shuffler = random.Random(SEED)
+    for epoch in range(args.num_epoch):
+        shuffler.shuffle(loader)
+        trainer.train(
+            args, model, None, loader, optimizer, device, amp_autocast,
+            criterion, None, None, epoch, others,
+        )
+
+    model.eval()
+    scores, labels = [], []
+    with torch.no_grad():
+        for s in test_slides:
+            bag = torch.tensor(s["feats"][None], dtype=torch.float32)
+            if model_name == "dsmil":
+                logits, _ = model(bag)
+            else:
+                logits = model(bag)
+            scores.append(torch.softmax(logits.view(1, -1), -1)[0, 1].item())
+            labels.append(int(s["target"]))
+    return _auc(scores, labels)
+
+
+def _train_ours_zoo(model_name, train_slides, test_slides):
+    import jax
+    import jax.numpy as jnp
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.data.bucketing import batch_bags
+    from mhim_mil_tpu.engine.steps import make_eval_step, make_train_step
+    from mhim_mil_tpu.engine.train_state import create_train_state
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+    cfg = load_config(
+        [], model=model_name, datasets="synth", batch_size=1,
+        bucket_sizes=(BAG,), seed=SEED, opt="adam", lr_sche="const",
+        compute_dtype="float32", input_dim=HP["input_dim"],
+        n_classes=HP["n_classes"], lr=ZOO_LR,
+        weight_decay=HP["weight_decay"], dropout=HP["dropout"],
+        aux_alpha=1.0, main_alpha=1.0, num_epoch=ZOO_EPOCHS,
+        max_epoch=ZOO_EPOCHS,
+    )
+    batches = list(batch_bags(train_slides, 1, (BAG,)))
+    model, family = build_model(cfg)
+    lr = make_lr_schedule(cfg, len(batches))
+    sample = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(SEED), sample, lr)
+    ts = make_train_step(cfg, model, family, len(batches))
+    ev = make_eval_step(cfg, model, family)
+
+    rng = np.random.default_rng(SEED)
+    for _ in range(cfg.num_epoch):
+        order = rng.permutation(len(train_slides))
+        for b in batch_bags([train_slides[i] for i in order], 1, (BAG,)):
+            state, _ = ts(state, {k: jnp.asarray(v) for k, v in b.items()})
+
+    scores, labels = [], []
+    for s in test_slides:
+        b = next(iter(batch_bags([s], 1, (BAG,))))
+        logits = ev(state, {k: jnp.asarray(v) for k, v in b.items()})["logits"]
+        p = jax.nn.softmax(logits.reshape(1, -1), axis=-1)[0, 1]
+        scores.append(float(p))
+        labels.append(int(s["target"]))
+    return _auc(scores, labels)
+
+
+@pytest.mark.parametrize("model_name", ["abmil", "transmil", "dsmil", "clam_sb"])
+def test_zoo_training_parity_vs_reference(ref_train_env, model_name):
+    train_slides, test_slides = _zoo_data()
+    ref_auc = _train_reference_zoo(
+        ref_train_env, model_name, train_slides, test_slides
+    )
+    our_auc = _train_ours_zoo(model_name, train_slides, test_slides)
+    assert ref_auc > 0.85, f"reference failed to learn: AUC={ref_auc:.3f}"
+    assert our_auc > 0.85, f"ours failed to learn: AUC={our_auc:.3f}"
+    # One-sided: ours must not underperform the reference (beating it is
+    # fine — e.g. transmil lands ~0.89 ref vs ~0.99 ours on this fixture,
+    # where our masked square-grid PPEG avoids the reference's token-
+    # duplication artefact, transmil.py:124-127).
+    assert our_auc > ref_auc - 0.10, (ref_auc, our_auc)
+
+
+# ---------------------------------------------------------------------------
+# Survival training parity: the reference's surv_train loop
+# (engines/base_engine.py:332-555, NLLSurvLoss train_utils.py:8-37, risk
+# scoring :636-649) against our nll_surv driver path, compared on held-out
+# censored concordance.
+#
+# Model is meanmil: the fixture's risk signal is the witness *fraction*,
+# which mean pooling reads directly; attention pooling is nearly
+# fraction-invariant (probed: reference abmil plateaus at c-index ~0.65,
+# maxmil — a presence detector — at ~0.59, meanmil reaches ~0.75).
+# ---------------------------------------------------------------------------
+
+SURV_EPOCHS = 40
+SURV_LR = 1e-3
+SURV_BINS = 4
+
+
+def _surv_data():
+    from mhim_mil_tpu.data.synthetic import make_synthetic_survival_dataset
+
+    slides = make_synthetic_survival_dataset(
+        n_slides=N_TRAIN + N_TEST, bag_size=BAG, feat_dim=HP["input_dim"],
+        n_bins=SURV_BINS, seed=SEED,
+    )
+    return slides[:N_TRAIN], slides[N_TRAIN:]
+
+
+def _cindex(risks, times, censors):
+    """Censored concordance (sksurv.concordance_index_censored semantics:
+    pairs comparable when the earlier time is an observed event)."""
+    num = den = 0.0
+    n = len(risks)
+    for i in range(n):
+        if censors[i]:
+            continue
+        for j in range(n):
+            if times[i] < times[j]:
+                den += 1
+                if risks[i] > risks[j]:
+                    num += 1
+                elif risks[i] == risks[j]:
+                    num += 0.5
+    return num / den
+
+
+def _train_reference_surv(env, train_slides, test_slides):
+    import contextlib
+    import random
+
+    torch = env.torch
+    torch.manual_seed(SEED)
+    from train_utils import NLLSurvLoss
+
+    loader = [
+        {
+            "input": torch.tensor(s["feats"][None], dtype=torch.float32),
+            "target": torch.tensor([int(s["target"])]),
+            "censorship": torch.tensor([float(s["censorship"])]),
+        }
+        for s in train_slides
+    ]
+    args, _ = env.parse(
+        override_dict=dict(
+            model="meanmil", datasets="surv_biosynth", loss="nll_surv",
+            batch_size=1, accumulation_steps=1, seed=SEED,
+            init_stu_type="none", teacher_init=None, lr_sche="const",
+            lr_supi=False, clip_grad=None, amp=False, prefetch=False,
+            patch_shuffle=False, distributed=False, wandb=False,
+            debug=False, rank=0, world_size=1, fold_curr=0,
+            log_iter=10_000, input_dim=HP["input_dim"],
+            n_classes=SURV_BINS, lr=SURV_LR,
+            weight_decay=HP["weight_decay"], dropout=HP["dropout"],
+            aux_alpha=1.0, main_alpha=1.0, num_epoch=SURV_EPOCHS,
+        )
+    )
+    device = torch.device("cpu")
+    args.device = device
+
+    model, others = env.build_model(args, device, loader)
+    criterion = NLLSurvLoss(alpha=0.0)
+    optimizer = torch.optim.Adam(
+        model.parameters(), lr=args.lr, weight_decay=args.weight_decay
+    )
+    trainer = env.BaseTrainer(env.CommonMIL(args), args)
+    amp_autocast = lambda **kw: contextlib.nullcontext()  # noqa: E731
+
+    shuffler = random.Random(SEED)
+    for epoch in range(args.num_epoch):
+        shuffler.shuffle(loader)
+        trainer.surv_train(
+            args, model, None, loader, optimizer, device, amp_autocast,
+            criterion, None, None, epoch, others,
+        )
+
+    model.eval()
+    risks, times, censors = [], [], []
+    with torch.no_grad():
+        for s in test_slides:
+            bag = torch.tensor(s["feats"][None], dtype=torch.float32)
+            logits = model(bag)
+            surv = torch.cumprod(1 - torch.sigmoid(logits), dim=1)
+            risks.append(float(-surv.sum(dim=1)[0]))
+            times.append(float(s["event"]))
+            censors.append(int(s["censorship"]))
+    return _cindex(risks, times, censors)
+
+
+def _train_ours_surv(train_slides, test_slides):
+    import jax
+    import jax.numpy as jnp
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.data.bucketing import batch_bags
+    from mhim_mil_tpu.engine.losses import surv_risk
+    from mhim_mil_tpu.engine.steps import make_eval_step, make_train_step
+    from mhim_mil_tpu.engine.train_state import create_train_state
+    from mhim_mil_tpu.models import build_model
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule
+
+    cfg = load_config(
+        [], model="meanmil", datasets="surv_synth", loss="nll_surv",
+        batch_size=1, bucket_sizes=(BAG,), seed=SEED, opt="adam",
+        lr_sche="const", compute_dtype="float32",
+        input_dim=HP["input_dim"], n_classes=SURV_BINS, lr=SURV_LR,
+        weight_decay=HP["weight_decay"], dropout=HP["dropout"],
+        aux_alpha=1.0, main_alpha=1.0, num_epoch=SURV_EPOCHS,
+        max_epoch=SURV_EPOCHS,
+    )
+    keys = ("target", "censorship", "event")
+    batches = list(batch_bags(train_slides, 1, (BAG,), extra_keys=keys))
+    model, family = build_model(cfg)
+    lr = make_lr_schedule(cfg, len(batches))
+    sample = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(SEED), sample, lr)
+    ts = make_train_step(cfg, model, family, len(batches))
+    ev = make_eval_step(cfg, model, family)
+
+    rng = np.random.default_rng(SEED)
+    for _ in range(cfg.num_epoch):
+        order = rng.permutation(len(train_slides))
+        for b in batch_bags(
+            [train_slides[i] for i in order], 1, (BAG,), extra_keys=keys
+        ):
+            state, _ = ts(state, {k: jnp.asarray(v) for k, v in b.items()})
+
+    risks, times, censors = [], [], []
+    for s in test_slides:
+        b = next(iter(batch_bags([s], 1, (BAG,), extra_keys=keys)))
+        logits = ev(state, {k: jnp.asarray(v) for k, v in b.items()})["logits"]
+        risks.append(float(surv_risk(logits.reshape(1, -1))[0]))
+        times.append(float(s["event"]))
+        censors.append(int(s["censorship"]))
+    return _cindex(risks, times, censors)
+
+
+def test_surv_training_parity_vs_reference(ref_train_env):
+    train_slides, test_slides = _surv_data()
+    ref_ci = _train_reference_surv(ref_train_env, train_slides, test_slides)
+    our_ci = _train_ours_surv(train_slides, test_slides)
+    assert ref_ci > 0.70, f"reference failed to learn: c-index={ref_ci:.3f}"
+    assert our_ci > 0.70, f"ours failed to learn: c-index={our_ci:.3f}"
+    # one-sided, as in the zoo test: beating the reference is not a failure
+    assert our_ci > ref_ci - 0.10, (ref_ci, our_ci)

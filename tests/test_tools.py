@@ -257,3 +257,49 @@ def test_export_attention_overlay_on_pyramidal_tiff(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     files = sorted(os.listdir(tmp_path / "attn"))
     assert "w0_overlay.png" in files, files
+
+
+def test_git_provenance(tmp_path):
+    """Reference utils.py:19-40 semantics: record SHA + dirty state; with
+    auto_commit, a dirty tree (incl. untracked files) is committed first."""
+    from mhim_mil_tpu.utils.logging import git_provenance
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo)] + list(args), check=True,
+            capture_output=True,
+            env={**os.environ,
+                 "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+        )
+
+    git("init", "-q")
+    git("config", "user.name", "t")
+    git("config", "user.email", "t@t")
+    (repo / "a.txt").write_text("x")
+    git("add", "a.txt")
+    git("commit", "-qm", "init")
+
+    clean = git_provenance(cwd=str(repo))
+    assert len(clean["git_sha"]) == 40
+    assert clean["git_dirty"] is False and clean["git_untracked"] == 0
+
+    (repo / "a.txt").write_text("y")          # dirty
+    (repo / "b.txt").write_text("new")        # untracked
+    dirty = git_provenance(cwd=str(repo))
+    assert dirty["git_dirty"] is True and dirty["git_untracked"] == 1
+    assert dirty["git_sha"] == clean["git_sha"]
+
+    committed = git_provenance(auto_commit=True, cwd=str(repo))
+    assert committed["git_dirty"] is False and committed["git_untracked"] == 0
+    assert committed["git_sha"] != clean["git_sha"]
+    after = git_provenance(cwd=str(repo))
+    assert after == committed
+
+    # outside a checkout: degrade to {} (never break a training run)
+    outside = tmp_path / "plain"
+    outside.mkdir()
+    assert git_provenance(cwd=str(outside)) == {}
