@@ -59,13 +59,21 @@ class DTFD(nn.Module):
         x = get_act(self.act)(x)
         x = nn.Dropout(0.25, deterministic=not training)(x)
 
-        # contiguous pseudo-bag ids over valid instances
-        # (reference np.array_split over sequential indices, dtfd.py:164-166)
+        # contiguous pseudo-bag ids over valid instances with exact
+        # np.array_split semantics (reference dtfd.py:164-166, 221-224): the
+        # first n_valid % g chunks get size n_valid//g + 1, the rest
+        # n_valid//g.
         n_valid = jnp.sum(mask, axis=-1, keepdims=True)  # [B,1]
         rank = jnp.cumsum(mask, axis=-1) - 1  # valid rank per position
-        gid = jnp.clip(
-            (rank * g) // jnp.maximum(n_valid, 1), 0, g - 1
-        )  # [B,N]
+        small = jnp.maximum(n_valid, 1) // g
+        rem = jnp.maximum(n_valid, 1) % g
+        boundary = rem * (small + 1)  # ranks below this sit in the big chunks
+        gid = jnp.where(
+            rank < boundary,
+            rank // (small + 1),
+            rem + (rank - boundary) // jnp.maximum(small, 1),
+        )
+        gid = jnp.clip(gid, 0, g - 1)  # [B,N]
         group_mask = (gid[:, None, :] == jnp.arange(g)[None, :, None]) & mask[:, None, :]
 
         # tier-1 attention per pseudo-bag

@@ -12,6 +12,12 @@ masking — region attention softmaxes are masked per region, CR-MSA masks
 empty regions, and padded positions are zeroed after every block. The
 reference's dynamic region-count switch for >100k bags (rrt.py:200-208)
 becomes a config choice.
+
+Divergence note: the reference's RRTEncoder builds the CR-MSA TransLayer
+without forwarding ``n_region`` (rrt.py:620), so its CR-MSA always partitions
+with the default region_num=8 regardless of ``--region_num``; here one
+``region_num`` drives both stages (identical at the deployed default 8,
+golden-tested in test_torch_parity.py).
 """
 
 from __future__ import annotations

@@ -204,12 +204,146 @@ def import_mhim_selfattn(sd: Dict) -> Dict:
     }
 
 
+def import_ibmil(sd: Dict) -> Dict:
+    """Reference modules/abmil_ibmil.py Dattention_ori → models/ibmil.py IBMIL.
+
+    The ``confounder_feat`` buffer is a constructor argument on our side
+    (``IBMIL(confounders=...)``) — read it from the state dict separately.
+    """
+    sd = strip_module_prefix(sd)
+    out = {
+        "embedding": {"proj": linear(sd, "embedding.embed.0")},
+        "attn_0": linear(sd, "attention.0"),
+        "attn_1": linear(sd, "attention.2"),
+        "head": linear(sd, "head"),
+    }
+    if "W_q.weight" in sd:
+        out["W_q"] = linear(sd, "W_q")
+        out["W_k"] = linear(sd, "W_k")
+    return out
+
+
+def import_clam(sd: Dict, multi_branch: bool = False) -> Dict:
+    """Reference modules/clam.py CLAM_SB/CLAM_MB → models/clam.py CLAM.
+
+    The per-class ``instance_classifiers`` ModuleList stacks into the
+    ``[C, D, 2]`` classifier bank; CLAM_MB's per-class bag heads
+    (``classifiers.{c}`` Linear(D,1)) stack into ``classifiers_w [C, D]``.
+    ``attention_net`` is the Sequential ``[Linear, act(, Dropout), Attn_Net*]``
+    so the gated net sits at index 3 with dropout, 2 without.
+    """
+    sd = strip_module_prefix(sd)
+    gate_idx = 3 if "attention_net.3.attention_c.weight" in sd or (
+        "attention_net.3.module.0.weight" in sd
+    ) else 2
+    gated = f"attention_net.{gate_idx}.attention_a.0.weight" in sd
+    params = {"fc": linear(sd, "attention_net.0")}
+    if gated:
+        params["attention_net"] = {
+            "attention_a": linear(sd, f"attention_net.{gate_idx}.attention_a.0"),
+            "attention_b": linear(sd, f"attention_net.{gate_idx}.attention_b.0"),
+            "attention_c": linear(sd, f"attention_net.{gate_idx}.attention_c"),
+        }
+    else:
+        params["attention_net"] = {
+            "attention_a": linear(sd, f"attention_net.{gate_idx}.module.0"),
+            "attention_c": linear(sd, f"attention_net.{gate_idx}.module.2"),
+        }
+    if multi_branch:
+        ws, bs = [], []
+        c = 0
+        while f"classifiers.{c}.weight" in sd:
+            ws.append(_t(sd[f"classifiers.{c}.weight"])[0])  # [D]
+            bs.append(_t(sd[f"classifiers.{c}.bias"])[0])
+            c += 1
+        params["classifiers_w"] = np.stack(ws)  # [C, D]
+        params["classifiers_b"] = np.stack(bs)  # [C]
+    else:
+        params["classifiers"] = linear(sd, "classifiers")
+    ws, bs = [], []
+    c = 0
+    while f"instance_classifiers.{c}.weight" in sd:
+        ws.append(_t(sd[f"instance_classifiers.{c}.weight"]).T)  # [D, 2]
+        bs.append(_t(sd[f"instance_classifiers.{c}.bias"]))  # [2]
+        c += 1
+    params["inst_classifiers_w"] = np.stack(ws)  # [C, D, 2]
+    params["inst_classifiers_b"] = np.stack(bs)  # [C, 2]
+    return params
+
+
+def _dtfd_gated_attention(sd: Dict, prefix: str) -> Dict:
+    return {
+        "attention_V": linear(sd, f"{prefix}.attention_V.0"),
+        "attention_U": linear(sd, f"{prefix}.attention_U.0"),
+        "attention_weights": linear(sd, f"{prefix}.attention_weights"),
+    }
+
+
+def import_dtfd(sd: Dict) -> Dict:
+    """Reference modules/dtfd.py DTFD → models/dtfd.py DTFD (tier-1
+    dimReduction/attention/classifier + tier-2 UClassifier)."""
+    sd = strip_module_prefix(sd)
+    return {
+        "dimReduction": linear(sd, "dimReduction.fc1"),
+        "attention": _dtfd_gated_attention(sd, "attention"),
+        "classifier": linear(sd, "classifier.fc"),
+        "u_attention": _dtfd_gated_attention(sd, "UClassifier.attention"),
+        "u_classifier": linear(sd, "UClassifier.classifier.fc"),
+    }
+
+
+def _rrt_inner_attention(sd: Dict, prefix: str) -> Dict:
+    out = {"qkv": linear(sd, f"{prefix}.qkv"), "proj": linear(sd, f"{prefix}.proj")}
+    if f"{prefix}.pe.weight" in sd:
+        out["pe"] = conv2d(sd, f"{prefix}.pe")
+    return out
+
+
+def import_rrtmil(sd: Dict) -> Dict:
+    """Reference modules/rrt.py RRTMIL → models/rrt.py RRTMIL (R-MSA layers +
+    CR-MSA with its ``phi`` dispatch bank + ABMIL pool + predictor)."""
+    sd = strip_module_prefix(sd)
+    enc: Dict = {"norm": layernorm(sd, "online_encoder.norm")}
+    i = 0
+    while f"online_encoder.layers.{i}.norm.weight" in sd:
+        enc[f"layer{i}"] = {
+            "norm": layernorm(sd, f"online_encoder.layers.{i}.norm"),
+            "attn": {
+                "attn": _rrt_inner_attention(sd, f"online_encoder.layers.{i}.attn.attn")
+            },
+        }
+        i += 1
+    enc["cr_msa"] = {
+        "norm": layernorm(sd, "online_encoder.cr_msa.norm"),
+        "attn": {
+            "phi": _t(sd["online_encoder.cr_msa.attn.phi"]),
+            "attn": _rrt_inner_attention(sd, "online_encoder.cr_msa.attn.attn"),
+        },
+    }
+    return {
+        "FeatureEmbed_0": {"proj": linear(sd, "feature.0")},
+        "online_encoder": enc,
+        # pool_fn = DAttention wrapping Attention: Sequential [Linear, act,
+        # Linear] (rrt.py:358-380,439-455)
+        "pool_fn": {
+            "attn_a": linear(sd, "pool_fn.attention.attention.0"),
+            "attn_c": linear(sd, "pool_fn.attention.attention.2"),
+        },
+        "predictor": linear(sd, "predictor"),
+    }
+
+
 IMPORTERS = {
     "abmil": import_abmil,
     "transmil": import_transmil,
     "dsmil": import_dsmil,
     "mhim_attn": import_mhim_attn,
     "mhim_selfattn": import_mhim_selfattn,
+    "ibmil": import_ibmil,
+    "clam_sb": import_clam,
+    "clam_mb": lambda sd: import_clam(sd, multi_branch=True),
+    "dtfd": import_dtfd,
+    "rrtmil": import_rrtmil,
 }
 
 

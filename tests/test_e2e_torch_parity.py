@@ -50,6 +50,16 @@ def ref_train_env():
     if REF not in sys.path:
         sys.path.insert(0, REF)
 
+    # test_driver/test_scan install a path-only stub for "modules" (so they
+    # can import single reference submodules without executing the package
+    # __init__). `from modules import build_model` below needs the REAL
+    # package __init__ — purge the stub and its cached children first.
+    _stub_pkg = sys.modules.get("modules")
+    if _stub_pkg is not None and getattr(_stub_pkg, "__file__", None) is None:
+        for _k in [k for k in list(sys.modules)
+                   if k == "modules" or k.startswith("modules.")]:
+            del sys.modules[_k]
+
     if not torch.cuda.is_available():
         # modules/clam.py:127,272 hard-code `SmoothTop1SVM(2).cuda()`; make
         # .cuda() a no-op so the reference CLAM builds on this CPU-only box.

@@ -53,6 +53,10 @@ def ref_modules():
         git_mod = types.ModuleType("git")
         git_mod.Repo = object
         sys.modules["git"] = git_mod
+    if not torch.cuda.is_available():
+        # modules/clam.py:127,272 hard-code `SmoothTop1SVM(2).cuda()`; make
+        # .cuda() a no-op so the reference CLAM builds on this CPU-only box.
+        torch.nn.Module.cuda = lambda self, *a, **k: self
     torch.manual_seed(0)
     return torch
 
@@ -531,3 +535,208 @@ def test_select_mask_mean_fusion_golden(ref_modules):
         )
         got = set(np.flatnonzero(np.asarray(sel)[0]).tolist())
         assert got == want, (largest, ratio)
+
+
+def test_ibmil_logit_parity(ref_modules, tmp_path):
+    """Dattention_ori (reference abmil_ibmil.py:43-101) with a confounder
+    bank → IBMIL, same weights → same logits (incl. the deconfounded head)."""
+    torch = ref_modules
+    from modules.abmil_ibmil import Dattention_ori
+
+    from mhim_mil_tpu.models.ibmil import IBMIL
+    from mhim_mil_tpu.utils.torch_import import import_ibmil
+
+    rng = np.random.default_rng(7)
+    conf = rng.normal(size=(6, 512)).astype(np.float32)
+    conf_path = tmp_path / "conf.npy"
+    np.save(conf_path, conf)
+
+    ref = Dattention_ori(
+        input_dim=64, n_classes=2, dropout=0.25, act="relu",
+        confounder_path=str(conf_path),
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    x = rng.normal(size=(1, 33, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+
+    model = IBMIL(input_dim=64, n_classes=2, dropout=0.25, act="relu",
+                  confounders=conf)
+    params = import_ibmil(sd)
+    got = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.ones((1, 33), bool),
+        training=False,
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("subtyping", [False, True])
+def test_clam_sb_parity(ref_modules, subtyping):
+    """CLAM_SB (reference clam.py:96-241): eval bag logits AND the
+    train-time clustering-constrained instance loss (SmoothTop1SVM over
+    top-k/bottom-k mined instances) match exactly."""
+    torch = ref_modules
+    from modules.clam import CLAM_SB
+
+    from mhim_mil_tpu.models.clam import CLAM
+    from mhim_mil_tpu.utils.torch_import import import_clam
+
+    ref = CLAM_SB(
+        input_dim=64, gate=True, dropout=0.0, k_sample=4, n_classes=2,
+        act="relu", inner_dim=48, subtyping=subtyping,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1, 41, 64)).astype(np.float32)
+    label = 1
+    with torch.no_grad():
+        want_logits = ref(torch.tensor(x), label=None).numpy()
+        want_bag, want_inst, _ = ref(
+            torch.tensor(x), label=torch.tensor([label]), instance_eval=True
+        )
+
+    model = CLAM(
+        input_dim=64, n_classes=2, inner_dim=48, dropout=0.0,
+        k_sample=4, gate=True, subtyping=subtyping,
+    )
+    params = import_clam(sd)
+    mask = jnp.ones((1, 41), bool)
+    got = model.apply({"params": params}, jnp.asarray(x), mask, training=False)
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), want_logits, rtol=1e-4, atol=1e-5
+    )
+    got_tr = model.apply(
+        {"params": params}, jnp.asarray(x), mask,
+        jnp.asarray([label]), training=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tr["logits"]), want_bag.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(got_tr["aux_loss"]), float(want_inst), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_clam_mb_parity(ref_modules):
+    """CLAM_MB (reference clam.py:243-337): per-class attention branches +
+    per-class bag heads + instance loss, same weights → same outputs."""
+    torch = ref_modules
+    from modules.clam import CLAM_MB
+
+    from mhim_mil_tpu.models.clam import CLAM
+    from mhim_mil_tpu.utils.torch_import import import_clam
+
+    ref = CLAM_MB(
+        input_dim=64, gate=True, dropout=0.0, k_sample=4, n_classes=3,
+        act="relu", subtyping=True,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(1, 37, 64)).astype(np.float32)
+    label = 2
+    with torch.no_grad():
+        want_logits = ref(torch.tensor(x), label=None).numpy()
+        want_bag, want_inst, _ = ref(
+            torch.tensor(x), label=torch.tensor(label), instance_eval=True
+        )
+
+    model = CLAM(
+        input_dim=64, n_classes=3, inner_dim=512, dropout=0.0,
+        k_sample=4, gate=True, multi_branch=True, subtyping=True,
+    )
+    params = import_clam(sd, multi_branch=True)
+    mask = jnp.ones((1, 37), bool)
+    got = model.apply({"params": params}, jnp.asarray(x), mask, training=False)
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), want_logits, rtol=1e-4, atol=1e-5
+    )
+    got_tr = model.apply(
+        {"params": params}, jnp.asarray(x), mask,
+        jnp.asarray([label]), training=True,
+    )
+    np.testing.assert_allclose(
+        float(got_tr["aux_loss"]), float(want_inst), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("distill", ["AFS", "MaxS", "MaxMinS"])
+def test_dtfd_eval_parity(ref_modules, monkeypatch, distill):
+    """DTFD test_forward (reference dtfd.py:216-266) with the eval-time
+    random pseudo-bag shuffle pinned to sequential order (our documented
+    divergence) → identical tier-2 logits, incl. the CAM-ranked MaxS/MaxMinS
+    distillation and np.array_split chunk sizing on a non-divisible bag."""
+    torch = ref_modules
+    import modules.dtfd as ref_dtfd
+
+    from mhim_mil_tpu.models.dtfd import DTFD as JDTFD
+    from mhim_mil_tpu.utils.torch_import import import_dtfd
+
+    monkeypatch.setattr(ref_dtfd.random, "shuffle", lambda seq: None)
+
+    ref = ref_dtfd.DTFD(
+        torch.device("cpu"), 1e-4, 1e-5, 10,
+        input_dim=64, inner_dim=48, n_classes=2, group=5, distill=distill,
+    ).eval()
+    sd = {
+        k: v.detach().numpy()
+        for k, v in ref.state_dict().items()
+        if not k.startswith(("optimizer", "scheduler"))
+    }
+
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(23, 64)).astype(np.float32)  # 23 % 5 != 0
+    with torch.no_grad():
+        want = ref(torch.tensor(x)[None]).numpy()
+
+    model = JDTFD(input_dim=64, n_classes=2, inner_dim=48, group=5,
+                  distill=distill)
+    params = import_dtfd(sd)
+    got = model.apply(
+        {"params": params}, jnp.asarray(x)[None], jnp.ones((1, 23), bool),
+        training=False,
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_rrtmil_logit_parity(ref_modules):
+    """RRTMIL (reference rrt.py:690-758): R-MSA with EPEG attention bias +
+    CR-MSA dispatch/combine routing + ABMIL pool, exact-square bag (no
+    padding, where masked and unmasked semantics coincide) → same logits."""
+    torch = ref_modules
+    from modules.rrt import RRTMIL as RefRRT
+
+    from mhim_mil_tpu.models.rrt import RRTMIL
+    from mhim_mil_tpu.utils.torch_import import import_rrtmil
+
+    # region_num pinned at the deployed default 8: the reference's
+    # RRTEncoder omits n_region when building the CR-MSA TransLayer
+    # (rrt.py:620), so its CR-MSA always partitions with region_num=8 no
+    # matter the flag; our design shares one region_num for both stages —
+    # the two coincide exactly at the default.
+    ref = RefRRT(
+        input_dim=32, inner_dim=64, act="relu", n_classes=2, dropout=0.25,
+        region_num=8, n_layers=2, n_heads=4, da_act="relu",
+        trans_dropout=0.1, epeg=True, epeg_k=15, crmsa_k=3,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(19)
+    n = 256  # ceil(sqrt(256)) = 16, multiple of region_num=8 → no padding
+    x = rng.normal(size=(1, n, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+
+    model = RRTMIL(
+        input_dim=32, n_classes=2, inner_dim=64, dropout=0.25, act="relu",
+        da_act="relu", n_layers=2, n_heads=4, region_num=8, epeg_k=15,
+        crmsa_k=3, trans_dropout=0.1,
+    )
+    params = import_rrtmil(sd)
+    got = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.ones((1, n), bool),
+        training=False,
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=2e-5)
