@@ -14,21 +14,21 @@ from typing import List
 import numpy as np
 import pandas as pd
 
-# Per-dataset string→int label maps (reference: datasets/dataset_feat.py:48-56).
-LABEL_MAPS = {
-    "nsclc": {"LUAD": 0, "LUSC": 1},
-    "brca": {"IDC": 0, "ILC": 1},
-}
+# Per-dataset binary zero-labels (reference: datasets/dataset_feat.py:48-56 maps
+# `0 if label == <zero> else 1` — every OTHER string maps to 1, not an error).
+ZERO_LABELS = {"nsclc": "LUAD", "brca": "IDC", "call": "normal"}
 
 
 def map_labels(labels, dataset: str) -> np.ndarray:
-    """Map raw CSV labels to ints (reference dataset_feat.py:46-56):
-    named subtypes for TCGA datasets, pass-through ints otherwise."""
-    key = next((k for k in LABEL_MAPS if k in dataset.lower()), None)
+    """Map raw CSV labels to ints (reference dataset_feat.py:46-56): binary
+    zero-label mapping for the named datasets (any other string → 1, matching
+    the reference's ``0 if l == zero else 1``), pass-through ints otherwise
+    (`bio*`/`panda`, and `call` when labels are already digits)."""
+    key = next((k for k in ZERO_LABELS if k in dataset.lower()), None)
     out = []
     for l in labels:
-        if key is not None and isinstance(l, str) and l in LABEL_MAPS[key]:
-            out.append(LABEL_MAPS[key][l])
+        if key is not None and isinstance(l, str) and not str(l).isdigit():
+            out.append(0 if l == ZERO_LABELS[key] else 1)
         else:
             out.append(int(l))
     return np.asarray(out, np.int64)

@@ -67,12 +67,30 @@ def _synth_folds(cfg: Config) -> List[Tuple[List, List, List]]:
 
 
 def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
-    """Real feature-store folds from a dataset CSV (reference main.py:30-63)."""
+    """Real feature-store folds from a dataset CSV (reference main.py:30-84).
+
+    Branch order matches the reference exactly:
+
+    - ``csv_path`` is a DIRECTORY → one ``fold_{k}.csv`` per fold, each split
+      by its own ``Split`` column (main.py:67-76);
+    - ``cv_fold > 1`` and not ``--random_fold`` → seed-shuffle the frame
+      (``df.sample(frac=1, random_state=seed)``, main.py:40) then stratified
+      k-fold — the ``Split`` column, if present, is ignored on this branch,
+      exactly like the reference;
+    - otherwise → the ``Split``-column split, repeated ``cv_fold``× when
+      ``--random_fold`` (the "multi-fold random experiment": same split every
+      fold, variation from the per-fold reseed ``seed + 100·k``, main.py:205).
+      A 2-column CSV without ``Split`` gets a seeded random train/test split
+      at ``val_ratio`` which is then consumed (get_data_dfs:222-233; same
+      fractions, numpy RNG stream instead of sklearn's — documented
+      divergence).
+    """
+    import os
+
     from ..data.readers import FeatureBagStore, build_cls_slides, build_surv_slides
     from ..data.splits import read_csv, get_kfold, split_by_column
 
     surv = is_survival(cfg)
-    df = read_csv(cfg.csv_path, survival=surv)
     store = FeatureBagStore(
         cfg.dataset_root, h5_root=cfg.h5_path, persistence=cfg.persistence
     )
@@ -92,21 +110,51 @@ def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
             with_pos=with_pos, num_workers=cfg.num_workers,
         )
 
-    if "Split" in df.columns and not cfg.random_fold:
+    def split_fold(df):
+        if "Split" not in df.columns:
+            # No Split column: seeded random train/test split at val_ratio,
+            # after which val_ratio is consumed — val falls back to test
+            # (reference get_data_dfs data_utils.py:222-233).
+            df = df.copy()
+            rng = np.random.default_rng(cfg.seed)
+            idx = rng.permutation(len(df))
+            n_test = max(1, int(round(len(df) * cfg.val_ratio)))
+            split = np.full(len(df), "train", object)
+            split[idx[:n_test]] = "test"
+            df["Split"] = split
+            return split_by_column(df, cfg.val2test)
         tr, te, va = split_by_column(df, cfg.val2test)
         if cfg.val_ratio > 0 and va is te:
             from ..data.splits import data_split
 
             va, tr = data_split(cfg.seed, tr, cfg.val_ratio)
-        return [(to_slides(tr), to_slides(te), to_slides(va))]
+        return tr, te, va
 
-    train_dfs, test_dfs, val_dfs = get_kfold(
-        df, cfg.cv_fold, cfg.seed, cfg.val_ratio, val2test=cfg.val2test
-    )
-    return [
-        (to_slides(tr), to_slides(te), to_slides(va))
-        for tr, te, va in zip(train_dfs, test_dfs, val_dfs)
-    ]
+    if os.path.isdir(cfg.csv_path):
+        out = []
+        for k in range(max(1, cfg.cv_fold)):
+            df = read_csv(
+                os.path.join(cfg.csv_path, f"fold_{k}.csv"), survival=surv
+            )
+            tr, te, va = split_fold(df)
+            out.append((to_slides(tr), to_slides(te), to_slides(va)))
+        return out
+
+    df = read_csv(cfg.csv_path, survival=surv)
+
+    if cfg.cv_fold > 1 and not cfg.random_fold:
+        df = df.sample(frac=1, random_state=cfg.seed).reset_index(drop=True)
+        train_dfs, test_dfs, val_dfs = get_kfold(
+            df, cfg.cv_fold, cfg.seed, cfg.val_ratio, val2test=cfg.val2test
+        )
+        return [
+            (to_slides(tr), to_slides(te), to_slides(va))
+            for tr, te, va in zip(train_dfs, test_dfs, val_dfs)
+        ]
+
+    tr, te, va = split_fold(df)
+    fold = (to_slides(tr), to_slides(te), to_slides(va))
+    return [fold] * (max(1, cfg.cv_fold) if cfg.random_fold else 1)
 
 
 def get_folds(cfg: Config) -> List[Tuple[List, List, List]]:
@@ -374,7 +422,11 @@ def _prefetch_to_device(batch_iter, mesh, shard_instances, depth: int = 2):
 def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
              logger=None):
     """Train one fold (reference one_fold main.py:189-428)."""
-    fold_seed = cfg.seed + 100 * fold if cfg.random_seed else cfg.seed
+    # Per-fold reseed when the folds are otherwise identical repeats
+    # (reference main.py:205: ``if args.random_fold or args.random_seed:
+    # seed = seed_ori + 100*fold``).
+    reseed = cfg.random_seed or cfg.random_fold
+    fold_seed = cfg.seed + 100 * fold if reseed else cfg.seed
     model, family, state, train_step, eval_step, eval_tea = _build_fold(
         cfg, train_slides, fold_seed
     )

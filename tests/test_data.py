@@ -79,6 +79,12 @@ def test_label_maps():
     assert map_labels(["LUAD", "LUSC"], "tcga_nsclc").tolist() == [0, 1]
     assert map_labels([0, 1], "c16").tolist() == [0, 1]
     assert map_labels(["1", "0"], "panda").tolist() == [1, 0]
+    # CAMELYON string labels: normal→0, anything else→1
+    # (reference dataset_feat.py:52-54); digits pass through.
+    assert map_labels(["normal", "tumor"], "call_c16").tolist() == [0, 1]
+    assert map_labels(["0", "1"], "call_c16").tolist() == [0, 1]
+    # Non-zero-label strings map to 1, never raise (reference `0 if .. else 1`).
+    assert map_labels(["IDC", "ILC", "other"], "brca").tolist() == [0, 1, 1]
 
 
 def test_stratified_kfold_balance():
