@@ -23,7 +23,13 @@ def map_labels(labels, dataset: str) -> np.ndarray:
     """Map raw CSV labels to ints (reference dataset_feat.py:46-56): binary
     zero-label mapping for the named datasets (any other string → 1, matching
     the reference's ``0 if l == zero else 1``), pass-through ints otherwise
-    (`bio*`/`panda`, and `call` when labels are already digits)."""
+    (`bio*`/`panda`, and `call` when labels are already digits).
+
+    Intentional divergence (docs/PARITY.md): the digit-string passthrough
+    applies to every zero-label dataset, not only `call` as in the reference
+    (dataset_feat.py:53-54). The reference would map a pre-encoded label
+    '0' in an nsclc/brca CSV to class 1 ('0' != 'LUAD'); here already-numeric
+    labels always pass through unchanged."""
     key = next((k for k in ZERO_LABELS if k in dataset.lower()), None)
     out = []
     for l in labels:

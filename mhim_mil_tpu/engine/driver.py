@@ -115,6 +115,15 @@ def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
             # No Split column: seeded random train/test split at val_ratio,
             # after which val_ratio is consumed — val falls back to test
             # (reference get_data_dfs data_utils.py:222-233).
+            if cfg.val_ratio <= 0:
+                # Fail loudly like the reference (sklearn train_test_split
+                # raises on test_size=0) instead of silently producing a
+                # 1-sample test set.
+                raise ValueError(
+                    "csv has no 'Split' column and --val_ratio is 0: the "
+                    "train/test split would be empty. Pass --val_ratio > 0 "
+                    "or add a Split column."
+                )
             df = df.copy()
             rng = np.random.default_rng(cfg.seed)
             idx = rng.permutation(len(df))
@@ -133,6 +142,13 @@ def _csv_folds(cfg: Config) -> List[Tuple[List, List, List]]:
     if os.path.isdir(cfg.csv_path):
         out = []
         for k in range(max(1, cfg.cv_fold)):
+            if k < cfg.fold_start:
+                # The reference loops range(fold_start, cv_fold) (main.py):
+                # skipped folds must neither require their CSV on disk nor
+                # pay feature I/O. Placeholders keep run_experiment's fold
+                # indexing aligned.
+                out.append(([], [], []))
+                continue
             df = read_csv(
                 os.path.join(cfg.csv_path, f"fold_{k}.csv"), survival=surv
             )
@@ -284,8 +300,9 @@ def evaluate(cfg: Config, eval_step, state, slides, fold: int, bootstrap: bool):
 
 
 def _host_loss(cfg, logits, targets, cens, events, keep):
-    x = logits - logits.max(-1, keepdims=True)
-    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    """Host-side validation loss, matching ``cfg.loss`` (the reference
+    validates with the same criterion it trains with, base_engine.py —
+    `--early_stop_on loss` must monitor the trained loss, not always CE)."""
     if is_survival(cfg):
         # use the NLL-surv on host (small arrays)
         from .losses import nll_surv_loss
@@ -296,6 +313,16 @@ def _host_loss(cfg, logits, targets, cens, events, keep):
                 jnp.asarray(np.concatenate(cens)[keep]),
             )
         )
+    if cfg.loss == "bce":
+        onehot = np.zeros_like(logits)
+        onehot[np.arange(len(targets)), targets] = 1.0
+        per = (
+            np.maximum(logits, 0) - logits * onehot
+            + np.log1p(np.exp(-np.abs(logits)))
+        )
+        return float(per.mean())
+    x = logits - logits.max(-1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
     return float(-logp[np.arange(len(targets)), targets].mean())
 
 
