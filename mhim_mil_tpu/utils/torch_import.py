@@ -159,6 +159,42 @@ def import_mhim_attn(sd: Dict) -> Dict:
     }
 
 
+def import_mhim_dsmil(sd: Dict) -> Dict:
+    """Reference modules/mhim.py MHIM(baseline='dsmil') → models/mhim.py MHIM
+    params (feature MLP + DSMILHead encoder; Merge params overlay separately
+    when enabled).
+
+    The published MHIM(dsmil) teachers (reference modules/__init__.py:176-214
+    loads them via ``load_state_dict(strict=False)``) carry
+    ``online_encoder.i_classifier.0.*`` and the BClassifier subtree
+    ``online_encoder.b_classifier.{q.0,q.2,v.1,fcc}.*``
+    (mhim_modules/baseline.py:112-160). The reference MHIM also holds an
+    unused ``predictor`` for the dsmil baseline (its forward routes through
+    the encoder's own heads, mhim.py:257-264) — dropped here, matching our
+    MHIM which only instantiates ``predictor`` for attn/selfattn.
+    """
+    sd = strip_module_prefix(sd)
+    fcc = _t(sd["online_encoder.b_classifier.fcc.weight"])  # [C, C, D]
+    c, _, d = fcc.shape
+    b_cls = {
+        "q0": linear(sd, "online_encoder.b_classifier.q.0"),
+        "q1": linear(sd, "online_encoder.b_classifier.q.2"),
+        "v": linear(sd, "online_encoder.b_classifier.v.1"),
+        # Conv1d(C, C, kernel_size=D) over [B,C,D] ≡ dense [C·D]→[C] with
+        # input index c_in·D + d (same flattening as import_dsmil above).
+        "fcc": {"kernel": fcc.transpose(1, 2, 0).reshape(c * d, c)},
+    }
+    if "online_encoder.b_classifier.fcc.bias" in sd:
+        b_cls["fcc"]["bias"] = _t(sd["online_encoder.b_classifier.fcc.bias"])
+    return {
+        "feature": {"proj": linear(sd, "feature.0")},
+        "online_encoder": {
+            "i_classifier": linear(sd, "online_encoder.i_classifier.0"),
+            "b_classifier": b_cls,
+        },
+    }
+
+
 def import_mca(sd: Dict, prefix: str) -> Dict:
     """Reference mhim_modules/merge.py:14-65 MCA → models/merge.py MCA."""
     return {
@@ -339,6 +375,7 @@ IMPORTERS = {
     "dsmil": import_dsmil,
     "mhim_attn": import_mhim_attn,
     "mhim_selfattn": import_mhim_selfattn,
+    "mhim_dsmil": import_mhim_dsmil,
     "ibmil": import_ibmil,
     "clam_sb": import_clam,
     "clam_mb": lambda sd: import_clam(sd, multi_branch=True),
@@ -369,6 +406,8 @@ def load_torch_mhim(path: str, baseline: str):
         params = import_mhim_attn(sd)
     elif baseline == "selfattn":
         params = import_mhim_selfattn(sd)
+    elif baseline == "dsmil":
+        params = import_mhim_dsmil(sd)
     else:
         raise NotImplementedError(
             f"torch teacher import for baseline '{baseline}' — convert via "
