@@ -43,8 +43,11 @@ A100_BASELINE_BAGS_PER_SEC = 16.4
 BAG_SIZE = 10240  # 10k-instance bucket
 FEAT_DIM = 1024
 BATCH = 4
-WARMUP_STEPS = 3
+WARMUP_STEPS = 30  # a program's first ~30 executions ramp up to 2x slow here
 MEASURE_STEPS = 30
+WINDOW_STEPS = 15  # steps per measurement window
+N_WINDOWS = 5  # windows per variant (dense/ragged), interleaved
+STEADY_SPREAD = 0.05  # steadiness gate: (max-min)/median across windows
 LATENCY_REPS = 40
 
 
@@ -96,19 +99,53 @@ def _make_state_and_step(cfg_overrides=None):
     return cfg, model, state, step, batch
 
 
-def _throughput(state, step, batch):
-    """bags/sec of the fused train step. NOTE: a host fetch (float()) is the
-    only reliable sync on the remote-TPU backend — block_until_ready returns
-    early there; the state chain forces every step to complete."""
-    for _ in range(WARMUP_STEPS):
-        state, metrics = step(state, batch)
-    float(metrics["loss"])
+def _one_window(state, step, batch, steps=WINDOW_STEPS):
+    """One timed window: bags/sec over ``steps`` chained train steps.
+    NOTE: a host fetch (float()) is the only reliable sync on the remote-TPU
+    backend — block_until_ready returns early there; the state chain forces
+    every step to complete."""
+    state, metrics = step(state, batch)
+    float(metrics["loss"])  # drain anything in flight before timing
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(steps):
         state, metrics = step(state, batch)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return MEASURE_STEPS * BATCH / dt
+    return state, steps * BATCH / dt
+
+
+def _spread(rates):
+    return float((np.max(rates) - np.min(rates)) / np.median(rates))
+
+
+def _interleaved_throughput(state, step, dense, ragged):
+    """Median-of-windows dense AND ragged throughput from interleaved
+    windows (round-3 VERDICT weak #1: one 30-step window on a contended
+    tunnel is not reproducible; and weak #2: the ragged number must be
+    captured under identical conditions as the dense one, not after it).
+
+    Runs WARMUP_STEPS first (per-program ramp), then alternates
+    dense/ragged windows. If either variant's spread exceeds the
+    steadiness gate, doubles the window count once before reporting.
+    """
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, dense)
+    float(metrics["loss"])
+
+    dense_rates, ragged_rates = [], []
+
+    def one_round(n):
+        nonlocal state
+        for _ in range(n):
+            state, r = _one_window(state, step, dense)
+            dense_rates.append(r)
+            state, r = _one_window(state, step, ragged)
+            ragged_rates.append(r)
+
+    one_round(N_WINDOWS)
+    if _spread(dense_rates) > STEADY_SPREAD or _spread(ragged_rates) > STEADY_SPREAD:
+        one_round(N_WINDOWS)  # contended capture: more windows, median wins
+    return state, dense_rates, ragged_rates
 
 
 def main() -> None:
@@ -124,17 +161,20 @@ def main() -> None:
 
     cfg, model, state, step, batch = _make_state_and_step()
 
-    # 1. Dense 10k bags (the headline number).
-    dense_bps = _throughput(state, step, batch)
-
-    # 2. Ragged bags: realistic CAMELYON16-like length spread padded into the
-    #    10k bucket (the reference pays per-instance cost; this framework pays
-    #    the bucket cost — measuring it keeps the padding overhead honest).
+    # 1+2. Dense and ragged 10k bags, interleaved windows, medians.
+    #    Ragged = realistic CAMELYON16-like length spread padded into the
+    #    10k bucket (the reference pays per-instance cost; this framework
+    #    pays the bucket cost — measuring it keeps the padding overhead
+    #    honest). Same compiled program as dense (same shapes).
     rng = np.random.default_rng(1)
     lens = rng.integers(BAG_SIZE // 2, BAG_SIZE + 1, size=(BATCH,))
     ragged = dict(batch)
     ragged["mask"] = jnp.asarray(np.arange(BAG_SIZE)[None, :] < lens[:, None])
-    ragged_bps = _throughput(state, step, ragged)
+    state, dense_rates, ragged_rates = _interleaved_throughput(
+        state, step, batch, ragged
+    )
+    dense_bps = float(np.median(dense_rates))
+    ragged_bps = float(np.median(ragged_rates))
 
     # 3. p50/p90 per-slide inference latency (batch=1 forward_test, jitted,
     #    including the host round-trip — what a deployed scorer would see).
@@ -243,9 +283,29 @@ def main() -> None:
         "bookkeeping and HBM-bound masked selects at 600-700 GB/s",
     }
 
+    # 6. In-process component breakdown: the same decomposition
+    #    tools/step_breakdown.py prints, recorded with every capture so a
+    #    regression is attributable from the artifact alone.
+    breakdown_ms = {}
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        try:
+            import step_breakdown as SB
+
+            breakdown_ms = SB.breakdown(
+                cfg, model, state, step, batch, include_full_step=False
+            )
+        except Exception as e:  # never let the breakdown sink the capture
+            breakdown_ms = {"error": repr(e)}
+
     detail = {
         "dense_bags_per_sec": round(dense_bps, 2),
         "ragged_bags_per_sec": round(ragged_bps, 2),
+        "dense_windows": [round(r, 2) for r in dense_rates],
+        "ragged_windows": [round(r, 2) for r in ragged_rates],
+        "dense_spread": round(_spread(dense_rates), 4),
+        "ragged_spread": round(_spread(ragged_rates), 4),
+        "window_steps": WINDOW_STEPS,
+        "component_breakdown_ms": breakdown_ms,
         "ragged_mean_len": int(lens.mean()),
         "eval_slides_per_sec": round(eval_bps, 2),
         "infer_p50_ms": round(p50, 2),

@@ -43,28 +43,27 @@ def timeit(fn, *args, reps=20, warmup=2, probe=None):
     return (time.perf_counter() - t0) / reps * 1000
 
 
-def main():
+def breakdown(cfg, model, state, step, batch, include_full_step=True):
+    """Per-component timings (ms) of the flagship step at the given geometry.
+
+    Callable from bench.py with its already-built state so every official
+    capture records the decomposition from the same process (round-3 VERDICT
+    next-step #10: regressions must be attributable from the artifact alone).
+    """
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    sys.path.insert(0, ".")
-    from mhim_mil_tpu.utils.platform import honor_env_platform
-
-    honor_env_platform()
-    from bench import _make_state_and_step, BATCH, BAG_SIZE, FEAT_DIM
 
     from mhim_mil_tpu.engine.steps import cast_compute
     from mhim_mil_tpu.models.mhim import MHIM
 
-    cfg, model, state, step, batch = _make_state_and_step()
+    BATCH, BAG_SIZE = batch["feats"].shape[0], batch["feats"].shape[1]
     res = {}
 
-    # full step (the reference point)
-    res["full_step_ms"] = timeit(
-        step, state, batch, probe=lambda o: o[1]["loss"]
-    )
+    if include_full_step:
+        # full step (the reference point)
+        res["full_step_ms"] = timeit(
+            step, state, batch, probe=lambda o: o[1]["loss"]
+        )
 
     # teacher forward
     @jax.jit
@@ -158,6 +157,22 @@ def main():
 
     for k, v in res.items():
         res[k] = round(v, 3)
+    return res
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    sys.path.insert(0, ".")
+    from mhim_mil_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+    from bench import _make_state_and_step
+
+    cfg, model, state, step, batch = _make_state_and_step()
+    res = breakdown(cfg, model, state, step, batch)
     print(json.dumps(res, indent=1))
 
 
