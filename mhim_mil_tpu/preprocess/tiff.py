@@ -16,15 +16,23 @@ Supported subset (honestly documented, tested):
     (RowsPerStrip/StripOffsets) — thumbnails are often striped
   * compression: 1 (none), 5 (LZW, with horizontal predictor), 7 (JPEG,
     with or without a shared JPEGTables segment), 8/32946 (deflate),
-    32773 (PackBits); LZW and PackBits decode through the native C codec
-    (``mhim_mil_tpu.native``, built on demand, pure-Python fallback)
+    32773 (PackBits), 33003/33005 (Aperio JPEG2000 raw codestreams, via
+    PIL/openjpeg; 33003 is YCbCr-coded and converted); LZW and PackBits
+    decode through the native C codec (``mhim_mil_tpu.native``, built on
+    demand, pure-Python fallback)
   * photometric: RGB, YCbCr (JPEG), grayscale (expanded to RGB)
   * pages sorted by width into a pyramid; ``read_region`` takes level-0
     coordinates like OpenSlide
+  * Aperio ``.svs`` page layout (the dominant TCGA container, which the
+    reference opens via OpenSlide — CLAM/wsi_core/WholeSlideImage.py:22-90):
+    tiled pages form the pyramid; striped pages are ASSOCIATED images
+    (thumbnail / label / macro, exposed like OpenSlide's
+    ``associated_images``); ``ImageDescription`` metadata (AppMag, MPP)
+    lands in ``properties`` under the openslide key names.
 
-Out of scope: JPEG2000 (Aperio .svs at compression 33003/33005), planar
-configuration 2, palette images. Files outside the subset raise
-``UnsupportedTiffError`` so callers can fall back to plain raster loading.
+Out of scope: planar configuration 2, palette images. Files outside the
+subset raise ``UnsupportedTiffError`` so callers can fall back to plain
+raster loading.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ class UnsupportedTiffError(ValueError):
 # TIFF tag ids
 _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
+_DESC = 270
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR, _PREDICTOR = 284, 317
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
@@ -203,6 +212,37 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
 
 
+def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 YCbCr → RGB (Aperio 33003 J2K codestreams carry
+    YCbCr planes without declaring a colour space; OpenSlide's Aperio
+    driver applies the same conversion)."""
+    y = arr[..., 0].astype(np.float32)
+    cb = arr[..., 1].astype(np.float32) - 128.0
+    cr = arr[..., 2].astype(np.float32) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """Writer-side twin of :func:`_ycbcr_to_rgb` (fixtures for the 33003
+    decode path)."""
+    r = arr[..., 0].astype(np.float32)
+    g = arr[..., 1].astype(np.float32)
+    b = arr[..., 2].astype(np.float32)
+    ycc = np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(ycc), 0, 255).astype(np.uint8)
+
+
 class _Page:
     def __init__(self, tags: Dict[int, tuple]):
         self.tags = tags
@@ -213,6 +253,13 @@ class _Page:
         self.spp = tags.get(_SPP, (1,))[0]
         self.predictor = tags.get(_PREDICTOR, (1,))[0]
         self.jpeg_tables = tags.get(_JPEG_TABLES, (None,))[0]
+        desc = tags.get(_DESC, (b"",))[0]
+        if isinstance(desc, tuple):
+            desc = desc[0] if desc else b""
+        self.description = (
+            desc.split(b"\x00", 1)[0].decode("latin-1") if isinstance(desc, bytes)
+            else str(desc)
+        )
         self.tiled = _TILE_OFF in tags
         if self.tiled:
             self.tw = tags[_TILE_W][0]
@@ -230,11 +277,18 @@ class _Page:
             self.tiles_x = 1
         if tags.get(_PLANAR, (1,))[0] != 1:
             raise UnsupportedTiffError("planar configuration 2 not supported")
-        if self.comp not in (1, 5, 7, 8, 32773, 32946):
+        if self.comp not in (1, 5, 7, 8, 32773, 32946, 33003, 33005):
             raise UnsupportedTiffError(
-                f"compression {self.comp} not supported (JPEG2000/.svs needs "
-                "an external codec)"
+                f"compression {self.comp} not supported"
             )
+        if self.comp in (33003, 33005):
+            from PIL import features
+
+            if not features.check("jpg_2000"):
+                raise UnsupportedTiffError(
+                    "JPEG2000 .svs page (Aperio compression "
+                    f"{self.comp}) but PIL lacks openjpeg support"
+                )
 
 
 class PyramidalTiff:
@@ -284,6 +338,36 @@ class PyramidalTiff:
                 pages.append(_Page(tags))
         if not pages:
             raise UnsupportedTiffError("no image pages")
+
+        self.properties: Dict[str, str] = {}
+        self._assoc_pages: Dict[str, _Page] = {}
+        if any(p.description.startswith("Aperio") for p in pages):
+            # Aperio .svs layout (what OpenSlide's Aperio driver implements,
+            # reference reaches it via openslide.open_slide,
+            # CLAM/wsi_core/WholeSlideImage.py:32): TILED pages form the
+            # pyramid; STRIPED pages are associated images — the first one
+            # is the thumbnail, later ones are named 'label' / 'macro' in
+            # their ImageDescription.
+            self.properties.update(_parse_aperio_description(
+                pages[0].description
+            ))
+            self.properties["openslide.vendor"] = "aperio"
+            levels = [p for p in pages if p.tiled]
+            for p in pages:
+                if p.tiled:
+                    continue
+                d = p.description.lower()
+                if "label" in d:
+                    name = "label"
+                elif "macro" in d:
+                    name = "macro"
+                else:
+                    name = "thumbnail"
+                self._assoc_pages.setdefault(name, p)
+            if not levels:
+                raise UnsupportedTiffError(".svs has no tiled pyramid pages")
+            pages = levels
+
         pages.sort(key=lambda p: -p.width)
         self._pages = pages
         self.level_count = len(pages)
@@ -294,6 +378,16 @@ class PyramidalTiff:
         self._cache: Dict[Tuple[int, int], np.ndarray] = {}
         self._cache_order: List[Tuple[int, int]] = []
         self._cache_max = tile_cache
+        self._assoc_cache: Dict[str, np.ndarray] = {}
+
+    @property
+    def associated_images(self) -> Dict[str, np.ndarray]:
+        """Decoded associated images (OpenSlide API: ``thumbnail`` / ``label``
+        / ``macro``). Decoded lazily on first access, then cached."""
+        for name, p in self._assoc_pages.items():
+            if name not in self._assoc_cache:
+                self._assoc_cache[name] = _decode_whole_page(self, p)
+        return dict(self._assoc_cache)
 
     # -- tile decode ---------------------------------------------------------
 
@@ -301,41 +395,7 @@ class PyramidalTiff:
         key = (level, idx)
         if key in self._cache:
             return self._cache[key]
-        p = self._pages[level]
-        self._f.seek(p.offsets[idx])
-        data = self._f.read(p.counts[idx])
-        if p.comp == 7:
-            from PIL import Image
-
-            if p.jpeg_tables:
-                # merge the shared tables segment into the tile's stream:
-                # tables end with EOI (ffd9), tile starts with SOI (ffd8)
-                tables = p.jpeg_tables
-                data = tables[:-2] + data[2:]
-            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        else:
-            # strip height may exceed the remaining rows on the last strip
-            rows = min(p.th, p.height - (idx // p.tiles_x) * p.th) if not p.tiled else p.th
-            want = p.tw * rows * p.spp
-            if p.comp in (8, 32946):
-                data = zlib.decompress(data)
-            elif p.comp == 5:
-                from ..native import lzw_decode
-
-                data = lzw_decode(data, want)
-            elif p.comp == 32773:
-                from ..native import packbits_decode
-
-                data = packbits_decode(data, want)
-            arr = np.frombuffer(data[:want], np.uint8).reshape(rows, p.tw, p.spp)
-            if p.predictor == 2:
-                arr = _undo_predictor(
-                    arr.reshape(rows, p.tw * p.spp).view(np.uint8)
-                    .reshape(rows, p.tw, p.spp)
-                )
-            if p.spp == 1:
-                arr = np.repeat(arr, 3, axis=-1)
-            arr = arr[..., :3]
+        arr = _decode_tile(self._f, self._pages[level], idx)
         if len(self._cache_order) >= self._cache_max:
             old = self._cache_order.pop(0)
             self._cache.pop(old, None)
@@ -343,7 +403,9 @@ class PyramidalTiff:
         self._cache_order.append(key)
         return arr
 
+
     # -- region access -------------------------------------------------------
+
 
     def read_region(self, location: Tuple[int, int], level: int, size: Tuple[int, int]) -> np.ndarray:
         """RGB uint8 ``[h, w, 3]``. ``location`` is (x, y) in LEVEL-0 pixels,
@@ -406,6 +468,92 @@ class PyramidalTiff:
 
     def close(self):
         self._f.close()
+
+
+def _decode_tile(f, p: _Page, idx: int) -> np.ndarray:
+    f.seek(p.offsets[idx])
+    data = f.read(p.counts[idx])
+    if p.comp == 7:
+        from PIL import Image
+
+        if p.jpeg_tables:
+            # merge the shared tables segment into the tile's stream:
+            # tables end with EOI (ffd9), tile starts with SOI (ffd8)
+            tables = p.jpeg_tables
+            data = tables[:-2] + data[2:]
+        arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    elif p.comp in (33003, 33005):
+        # Aperio JPEG2000: tiles are raw J2K codestreams (SOC ff4fff51),
+        # decoded via PIL/openjpeg. 33003 carries YCbCr planes (openjpeg
+        # hands them back untouched), 33005 is RGB.
+        from PIL import Image
+
+        arr = np.asarray(Image.open(io.BytesIO(data)))
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        arr = arr[..., :3]
+        if p.comp == 33003:
+            arr = _ycbcr_to_rgb(arr)
+    else:
+        # strip height may exceed the remaining rows on the last strip
+        rows = min(p.th, p.height - (idx // p.tiles_x) * p.th) if not p.tiled else p.th
+        want = p.tw * rows * p.spp
+        if p.comp in (8, 32946):
+            data = zlib.decompress(data)
+        elif p.comp == 5:
+            from ..native import lzw_decode
+
+            data = lzw_decode(data, want)
+        elif p.comp == 32773:
+            from ..native import packbits_decode
+
+            data = packbits_decode(data, want)
+        arr = np.frombuffer(data[:want], np.uint8).reshape(rows, p.tw, p.spp)
+        if p.predictor == 2:
+            arr = _undo_predictor(
+                arr.reshape(rows, p.tw * p.spp).view(np.uint8)
+                .reshape(rows, p.tw, p.spp)
+            )
+        if p.spp == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        arr = arr[..., :3]
+    return arr
+
+
+def _decode_whole_page(slide: "PyramidalTiff", p: _Page) -> np.ndarray:
+    """Assemble a full (small) page from its strips/tiles — used for the
+    associated thumbnail/label/macro images of an .svs."""
+    out = np.zeros((p.height, p.width, 3), np.uint8)
+    n_ty = -(-p.height // p.th)
+    n_tx = p.tiles_x if p.tiled else 1
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            tile = _decode_tile(slide._f, p, ty * n_tx + tx)
+            y0, x0 = ty * p.th, tx * p.tw
+            hh = min(tile.shape[0], p.height - y0)
+            ww = min(tile.shape[1], p.width - x0)
+            out[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+    return out
+
+
+def _parse_aperio_description(desc: str) -> Dict[str, str]:
+    """Pull the pipe-delimited ``Key = Value`` metadata out of an Aperio
+    ImageDescription into openslide-style property keys (MPP →
+    ``openslide.mpp-x/y``, AppMag → ``openslide.objective-power``; every raw
+    field is kept under ``aperio.<Key>``)."""
+    props: Dict[str, str] = {}
+    for part in desc.split("|")[1:]:
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        k, v = k.strip(), v.strip()
+        props[f"aperio.{k}"] = v
+    if "aperio.MPP" in props:
+        props["openslide.mpp-x"] = props["aperio.MPP"]
+        props["openslide.mpp-y"] = props["aperio.MPP"]
+    if "aperio.AppMag" in props:
+        props["openslide.objective-power"] = props["aperio.AppMag"]
+    return props
 
 
 class RasterSlide:
@@ -573,5 +721,163 @@ def write_pyramidal_tiff(
             (n,) = struct.unpack(bo + "H", bytes(buf[ifd : ifd + 2]))
         ptr = ifd + cnt_sz + n * esz
         buf[ptr : ptr + osz] = struct.pack(bo + ofmt, ifd_offsets[i + 1])
+    with open(path, "wb") as f:
+        f.write(buf)
+
+
+def write_aperio_svs(
+    path: str,
+    level0: np.ndarray,
+    levels: int = 2,
+    tile: int = 256,
+    compression: str = "jpeg",
+    quality: int = 90,
+    mpp: float = 0.5,
+    app_mag: int = 20,
+) -> None:
+    """Write an RGB image in the Aperio ``.svs`` page layout (fixture twin of
+    the files OpenSlide's Aperio driver reads; the reference ingests them via
+    ``openslide.open_slide``, CLAM/wsi_core/WholeSlideImage.py:22-90):
+
+      IFD 0   baseline, tiled, ``compression`` ('jpeg' | 'j2k-ycbcr' (33003)
+              | 'j2k-rgb' (33005)), Aperio ImageDescription with AppMag/MPP
+      IFD 1   thumbnail, STRIPED jpeg (an associated image, not a level)
+      IFD 2+  tiled pyramid levels (2x box-downsamples)
+      then    'label' and 'macro' striped pages (associated images)
+
+    Interleaving striped associated pages between/after tiled levels is
+    exactly what trips a naive sort-by-width pyramid — the reader must
+    route by tiled-vs-striped like OpenSlide does.
+    """
+    from PIL import Image
+
+    assert level0.ndim == 3 and level0.shape[2] == 3 and level0.dtype == np.uint8
+    comp_code = {"jpeg": 7, "j2k-ycbcr": 33003, "j2k-rgb": 33005}[compression]
+
+    imgs = [level0]
+    for _ in range(1, levels):
+        prev = imgs[-1]
+        h, w = prev.shape[:2]
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        ds = prev[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, 3).mean((1, 3))
+        imgs.append(ds.astype(np.uint8))
+
+    h0, w0 = level0.shape[:2]
+    base_desc = (
+        f"Aperio Image Library v12.0.15\r\n{w0}x{h0} [0,0 {w0}x{h0}] "
+        f"({tile}x{tile}) -- |AppMag = {app_mag}|StripeWidth = 2040"
+        f"|MPP = {mpp:.4f}|Filename = fixture|"
+    )
+
+    def enc_tile(t: np.ndarray) -> bytes:
+        b = io.BytesIO()
+        if comp_code == 7:
+            Image.fromarray(t).save(b, "JPEG", quality=quality)
+        elif comp_code == 33005:
+            Image.fromarray(t).save(b, "JPEG2000", no_jp2=True)
+        else:  # 33003: YCbCr planes in a raw J2K codestream
+            Image.fromarray(_rgb_to_ycbcr(t)).save(b, "JPEG2000", no_jp2=True)
+        return b.getvalue()
+
+    def thumb(img: np.ndarray, max_w: int) -> np.ndarray:
+        step = max(1, img.shape[1] // max_w)
+        return img[::step, ::step]
+
+    # page spec: (img, tiled?, comp_code, description)
+    pages = [(imgs[0], True, comp_code, base_desc)]
+    pages.append((thumb(level0, 64), False, 7, "Aperio Image Library v12.0.15\r\nthumb"))
+    for ds_img in imgs[1:]:
+        pages.append((ds_img, True, comp_code, base_desc))
+    pages.append((thumb(level0, 32), False, 7, "Aperio Image Library v12.0.15\r\nlabel 42x42"))
+    pages.append((thumb(level0, 48), False, 7, "Aperio Image Library v12.0.15\r\nmacro 10x3"))
+
+    bo = "<"
+    out = io.BytesIO()
+    out.write(b"II*\x00")
+    out.write(struct.pack(bo + "I", 0))  # first-IFD offset patched later
+    ofmt, inline, entry_hdr = "I", 4, "HHI"
+    ifd_offsets = []
+
+    for img, tiled, comp, desc in pages:
+        h, w = img.shape[:2]
+        offs, cnts = [], []
+        if tiled:
+            ntx, nty = -(-w // tile), -(-h // tile)
+            for ty in range(nty):
+                for tx in range(ntx):
+                    t = np.zeros((tile, tile, 3), np.uint8)
+                    part = img[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+                    t[: part.shape[0], : part.shape[1]] = part
+                    data = enc_tile(t)
+                    offs.append(out.tell())
+                    cnts.append(len(data))
+                    out.write(data)
+                    if out.tell() % 2:
+                        out.write(b"\x00")
+        else:
+            rows_per_strip = 16
+            for y in range(0, h, rows_per_strip):
+                strip = img[y : y + rows_per_strip]
+                b = io.BytesIO()
+                Image.fromarray(strip).save(b, "JPEG", quality=quality)
+                data = b.getvalue()
+                offs.append(out.tell())
+                cnts.append(len(data))
+                out.write(data)
+                if out.tell() % 2:
+                    out.write(b"\x00")
+
+        desc_b = desc.encode("latin-1") + b"\x00"
+        photo = 6 if comp == 7 else 2
+        tags = [
+            (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [8, 8, 8]),
+            (_COMP, 3, [comp]), (_PHOTO, 3, [photo]),
+            (_SPP, 3, [3]), (_PLANAR, 3, [1]),
+            (_DESC, 2, [desc_b]),
+        ]
+        if tiled:
+            tags += [
+                (_TILE_W, 3, [tile]), (_TILE_H, 3, [tile]),
+                (_TILE_OFF, 4, offs), (_TILE_CNT, 4, cnts),
+            ]
+        else:
+            tags += [
+                (_ROWS_PER_STRIP, 3, [16]),
+                (_STRIP_OFF, 4, offs), (_STRIP_CNT, 4, cnts),
+            ]
+
+        tag_entries = []
+        for tag, typ, vals in sorted(tags):
+            if typ == 2:  # ASCII
+                packed = vals[0]
+                cnt = len(packed)
+            else:
+                fmt = _TYPE_FMT[typ]
+                packed = struct.pack(bo + fmt * len(vals), *vals)
+                cnt = len(vals)
+            size = _TYPE_SIZE[typ] * cnt
+            head = struct.pack(bo + entry_hdr, tag, typ, cnt)
+            if size > inline:
+                voff = out.tell()
+                out.write(packed)
+                if out.tell() % 2:
+                    out.write(b"\x00")
+                entry = head + struct.pack(bo + ofmt, voff)
+            else:
+                entry = head + packed.ljust(inline, b"\x00")
+            tag_entries.append(entry)
+        ifd_offsets.append(out.tell())
+        out.write(struct.pack(bo + "H", len(tag_entries)))
+        for e in tag_entries:
+            out.write(e)
+        out.write(struct.pack(bo + ofmt, 0))  # next-IFD patched below
+
+    buf = bytearray(out.getvalue())
+    buf[4:8] = struct.pack(bo + "I", ifd_offsets[0])
+    for i in range(len(ifd_offsets) - 1):
+        ifd = ifd_offsets[i]
+        (n,) = struct.unpack(bo + "H", bytes(buf[ifd : ifd + 2]))
+        ptr = ifd + 2 + n * 12
+        buf[ptr : ptr + 4] = struct.pack(bo + "I", ifd_offsets[i + 1])
     with open(path, "wb") as f:
         f.write(buf)
