@@ -29,6 +29,17 @@ class _DepthwiseResConv(nn.Module):
     as a channel-depthwise conv on ``[B, N, H·dh]`` — an 8-channel conv maps
     terribly onto the TPU's 128-lane registers, while the 512-channel
     depthwise layout is ~2x faster (measured on v5e).
+
+    Measured dead end (round 4, keep for the record): a blocked-Toeplitz
+    batched-matmul formulation (the head-shared kernel makes the conv a
+    per-head banded [N, N] matmul, blocked [256, 288] tiles on the MXU) wins
+    BIG standalone — fwd 15.3 → 1.3 ms, fwd+bwd 32.7 → 4.1 ms at 10241×512 —
+    but LOSES in the full fused train step: 22.3 → 24.3 ms/step (179 → 165
+    bags/s, 5-window medians). In-graph XLA fuses the depthwise conv into
+    the surrounding elementwise work at near-zero marginal cost, while the
+    Toeplitz path's pad + halo-gather + fp32 block-einsum adds real HBM
+    round-trips that fusion can't remove. The standalone conv number is a
+    layout artifact, not headroom.
     """
 
     heads: int

@@ -345,17 +345,15 @@ def nystrom_attention_streamed(
         inv_sum = (1.0 / jnp.maximum(final_sum, 1e-30))
 
     # ---- phase 2: out_c = softmax_m(q_c · k_lᵀ) @ z (+ cls_attn chunks) ----
-    def phase2(carry, off):
-        out_buf, cls_buf = carry
+    def chunk_out(off):
         q_c = jax.lax.dynamic_slice_in_dim(q, off, chunk, axis=1)
         m_c = jax.lax.dynamic_slice_in_dim(mask, off, chunk, axis=1)
         sim1 = einsum_f32("bnhd,bhmd->bhnm", q_c, k_l)
         attn1 = masked_softmax(sim1, lm_b, axis=-1).astype(compute_dtype)
         out_c = jnp.einsum("bhnm,bhmd->bnhd", attn1, z).reshape(b, chunk, h * dh)
         out_c = jnp.where(m_c[..., None], out_c, 0)
-        out_buf = jax.lax.dynamic_update_slice_in_dim(out_buf, out_c, off, axis=1)
         if not return_attn:
-            return (out_buf, cls_buf), None
+            return out_c, None
         k_c = jax.lax.dynamic_slice_in_dim(k, off, chunk, axis=1)
         sim3 = einsum_f32("bhmd,bnhd->bhmn", q_l, k_c)
         sim3 = jnp.where(m_c[:, None, None, :], sim3, neg)
@@ -365,12 +363,39 @@ def nystrom_attention_streamed(
         cls_c = einsum_f32(
             "bhom,bhmn->bhon", r, attn3_c.astype(compute_dtype)
         )[:, :, 0]  # [B,H,chunk]
-        cls_buf = jax.lax.dynamic_update_slice_in_dim(cls_buf, cls_c, off, axis=2)
-        return (out_buf, cls_buf), None
+        return out_c, cls_c
 
-    out0 = jnp.zeros((b, n, h * dh), compute_dtype)
-    cls0 = jnp.zeros((b, h, n if return_attn else 1), jnp.float32)
-    (out, cls_attn), _ = jax.lax.scan(phase2, (out0, cls0), offs, unroll=2)
-    if not return_attn:
+    # Chunk outputs are emitted as stacked scan ys and reshaped once — no
+    # [B,N,H·dh] carry to dynamic-update-slice every iteration (the round-3
+    # roofline's "streamed-scan bookkeeping" slice). The full windows tile
+    # [0, T·chunk); when n is not a chunk multiple, the single clamped tail
+    # window [n−chunk, n) is computed OUTSIDE the scan (static offset) and
+    # only its fresh rows are concatenated.
+    t_full = n // chunk
+    offs_full = jnp.arange(t_full) * chunk
+    rem = n - t_full * chunk
+
+    if return_attn:
+        def phase2_ys(_, off):
+            return (), chunk_out(off)
+
+        _, (ys_out, ys_cls) = jax.lax.scan(phase2_ys, (), offs_full, unroll=2)
+        out = ys_out.transpose(1, 0, 2, 3).reshape(b, t_full * chunk, h * dh)
+        cls_attn = ys_cls.transpose(1, 2, 0, 3).reshape(b, h, t_full * chunk)
+        if rem:
+            out_t, cls_t = chunk_out(n - chunk)
+            out = jnp.concatenate([out, out_t[:, chunk - rem :]], axis=1)
+            cls_attn = jnp.concatenate(
+                [cls_attn, cls_t[:, :, chunk - rem :]], axis=2
+            )
+    else:
+        def phase2_ys(_, off):
+            return (), chunk_out(off)[0]
+
+        _, ys_out = jax.lax.scan(phase2_ys, (), offs_full, unroll=2)
+        out = ys_out.transpose(1, 0, 2, 3).reshape(b, t_full * chunk, h * dh)
+        if rem:
+            out_t, _ = chunk_out(n - chunk)
+            out = jnp.concatenate([out, out_t[:, chunk - rem :]], axis=1)
         cls_attn = None
     return out, cls_attn

@@ -194,3 +194,85 @@ def sample_rois(
     else:
         raise NotImplementedError(mode)
     return {"sampled_coords": coords[ids], "sampled_scores": scores[ids]}
+
+
+def render_heatmap_pyramidal(
+    slide,
+    coords: np.ndarray,
+    scores: np.ndarray,
+    patch_size: int = 256,
+    vis_level: int = 1,
+    alpha: float = 0.4,
+    cmap: str = "coolwarm",
+    binarize: bool = False,
+    thresh: float = 0.5,
+    blank_canvas: bool = False,
+    canvas_color=(220, 20, 50),
+    band_rows: int = 2048,
+    tissue_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """visHeatmap-style blended overlay rendered at an ARBITRARY pyramid
+    level, streaming band-by-band (reference
+    CLAM/wsi_core/WholeSlideImage.py:487-677 renders block-wise at
+    ``vis_level``; the thumbnail-only path of :func:`render_heatmap_overlay`
+    covers flat rasters).
+
+    ``slide`` is a ``preprocess.tiff`` slide object (``level_dimensions`` /
+    ``level_downsamples`` / ``_read_level``); ``coords`` are level-0 (x, y)
+    pixel positions, ``patch_size`` the level-0 patch edge. The per-pixel
+    accumulate/average, binarize, colormap and alpha-blend math matches
+    :func:`render_heatmap_overlay` pixel-for-pixel at the same scale; only
+    the traversal is banded so a gigapixel level is never materialized twice.
+
+    ``tissue_mask``: optional [h, w] bool array at ANY resolution — scaled
+    by nearest-neighbor to ``vis_level`` and used to confine blending to
+    tissue (the reference's segmentation-contour masking, visHeatmap
+    ``segment``/``use_holes``).
+    """
+    from matplotlib import colormaps
+
+    ds = slide.level_downsamples[vis_level]
+    w, h = slide.level_dimensions[vis_level]
+    scale = 1.0 / ds
+    ps = max(int(patch_size * scale), 1)
+    lv_coords = (np.asarray(coords, np.float64) * scale).astype(np.int64)
+    sc = to_percentiles(scores) / 100.0
+    if binarize:
+        sc = (sc >= thresh).astype(np.float64)
+    cm = colormaps[cmap]
+
+    out = np.empty((h, w, 3), np.uint8)
+    for y0 in range(0, h, band_rows):
+        y1 = min(y0 + band_rows, h)
+        bh = y1 - y0
+        if blank_canvas:
+            base = np.full((bh, w, 3), np.asarray(canvas_color, np.uint8))
+        else:
+            base = slide._read_level(0, y0, vis_level, (w, bh))
+        overlay = np.zeros((bh, w), np.float64)
+        counter = np.zeros((bh, w), np.uint16)
+        live = (lv_coords[:, 1] + ps > y0) & (lv_coords[:, 1] < y1)
+        for (x, y), s in zip(lv_coords[live], sc[live]):
+            yy0, yy1 = max(y - y0, 0), min(y + ps - y0, bh)
+            xx0, xx1 = max(x, 0), min(x + ps, w)
+            if yy1 <= yy0 or xx1 <= xx0:
+                continue
+            overlay[yy0:yy1, xx0:xx1] += s
+            counter[yy0:yy1, xx0:xx1] += 1
+        seen = counter > 0
+        overlay[seen] /= counter[seen]
+        if binarize:
+            seen &= overlay >= thresh
+        if tissue_mask is not None:
+            mh, mw = tissue_mask.shape[:2]
+            ys = (np.arange(y0, y1) * mh // h).clip(0, mh - 1)
+            xs = (np.arange(w) * mw // w).clip(0, mw - 1)
+            seen &= tissue_mask[np.ix_(ys, xs)].astype(bool)
+        colored = (cm(np.clip(overlay, 0, 1))[..., :3] * 255).astype(np.uint8)
+        band = base.copy()
+        band[seen] = (
+            alpha * colored[seen].astype(np.float64)
+            + (1 - alpha) * base[seen].astype(np.float64)
+        ).astype(np.uint8)
+        out[y0:y1] = band
+    return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from functools import partial
 
 import numpy as np
 
@@ -31,7 +32,8 @@ honor_env_platform()
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="fold checkpoint; omitted = random init (smoke runs)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--model", default="abmil")
     ap.add_argument("--baseline", default="selfattn")
@@ -43,6 +45,10 @@ def main():
     ap.add_argument("--image_dir", default=None,
                     help="raster slide images: also render blended overlays")
     ap.add_argument("--patch_size", type=int, default=256)
+    ap.add_argument("--vis_level", type=int, default=-1,
+                    help="pyramid level for the blended overlay (banded "
+                    "renderer); -1 = thumbnail path (reference "
+                    "create_heatmaps.py vis_level)")
     ap.add_argument("--alpha", type=float, default=0.4)
     ap.add_argument("--cmap", default="coolwarm")
     ap.add_argument("--sample_rois", default=None,
@@ -64,8 +70,22 @@ def main():
         dataset_root=args.dataset_root,
     )
     model, family = build_model(cfg)
-    payload = load_checkpoint(args.ckpt)
-    variables = {"params": payload["params"], **payload["model_state"]}
+    if args.ckpt:
+        payload = load_checkpoint(args.ckpt)
+        variables = {"params": payload["params"], **payload["model_state"]}
+    else:
+        print("WARNING: no --ckpt given — exporting attention of a RANDOM "
+              "init (smoke-test mode)")
+        init_kw = {}
+        if family in ("mhim", "mhim_pure"):
+            from mhim_mil_tpu.models.mhim import MHIM
+
+            init_kw["method"] = MHIM.forward_test
+        variables = jax.jit(partial(model.init, **init_kw))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, cfg.input_dim), jnp.float32),
+            jnp.ones((1, 8), bool),
+        )
 
     if family in ("mhim", "mhim_pure"):
         from mhim_mil_tpu.models.mhim import MHIM
@@ -119,15 +139,32 @@ def main():
                     from mhim_mil_tpu.preprocess.tiff import open_slide
 
                     slide = open_slide(ip)
-                    img = slide.get_thumbnail(4096)
-                    scale = max(
-                        1, int(round(slide.dimensions[0] / img.shape[1]))
-                    )
-                    over = render_heatmap_overlay(
-                        img, px_coords // scale, scores,
-                        max(args.patch_size // scale, 1),
-                        alpha=args.alpha, cmap=args.cmap,
-                    )
+                    if 0 <= args.vis_level < slide.level_count and hasattr(
+                        slide, "_read_level"
+                    ):
+                        # banded render at the requested pyramid level
+                        # (reference visHeatmap blends block-wise at
+                        # vis_level, WholeSlideImage.py:487-677)
+                        from mhim_mil_tpu.utils.heatmap import (
+                            render_heatmap_pyramidal,
+                        )
+
+                        over = render_heatmap_pyramidal(
+                            slide, px_coords, scores,
+                            patch_size=args.patch_size,
+                            vis_level=args.vis_level,
+                            alpha=args.alpha, cmap=args.cmap,
+                        )
+                    else:
+                        img = slide.get_thumbnail(4096)
+                        scale = max(
+                            1, int(round(slide.dimensions[0] / img.shape[1]))
+                        )
+                        over = render_heatmap_overlay(
+                            img, px_coords // scale, scores,
+                            max(args.patch_size // scale, 1),
+                            alpha=args.alpha, cmap=args.cmap,
+                        )
                     slide.close()
                     op = os.path.join(args.out, f"{sid}_overlay.png")
                     Image.fromarray(over).save(op)
