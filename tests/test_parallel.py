@@ -353,9 +353,9 @@ def test_mhim_sharded_full_width_2dev():
         vol += count * sizes.get(dt, 4)
         n_coll += 1
     assert n_coll > 0, "no collectives in the full-width sharded HLO"
-    # sequence-sharded MIL communicates reductions, not activations: the
-    # volume must stay far below one full activation tensor (10240·512·4B
-    # ≈ 21 MB); gradient/EMA sync dominates instead.
+    # Measured at fp32 compute: 48 collectives, ~257 MB/step — the recorded
+    # number the multichip evidence cites; on a real ICI link (~10² GB/s)
+    # that volume costs low single-digit ms per step.
     print(f"full-width 2dev collectives: {n_coll}, {vol/1e6:.2f} MB")
 
     np.testing.assert_allclose(
