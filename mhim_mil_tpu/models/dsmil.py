@@ -34,7 +34,10 @@ class BClassifier(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, feats, classes, mask, *, training: bool = False):
+    def __call__(
+        self, feats, classes, mask, *, training: bool = False,
+        no_norm: bool = False,
+    ):
         b, n, d = feats.shape
         c = self.n_classes
 
@@ -73,7 +76,10 @@ class BClassifier(nn.Module):
 
         # fcc: dense over the flattened [C,D] bag feature per class.
         logits = dense(c, self.use_bias, name="fcc")(bag.reshape(b, c * self.dim))
-        return logits, a_soft, bag
+        # no_norm reports the PRE-softmax attention (reference
+        # dsmil.py:142-146: ``_A = A`` before F.softmax); the bag feature
+        # always uses the normalized weights.
+        return logits, (a if no_norm else a_soft), bag
 
 
 class DSMILHead(nn.Module):
@@ -91,11 +97,14 @@ class DSMILHead(nn.Module):
     cls_attn: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, *, training: bool = False, return_attn: bool = False):
+    def __call__(
+        self, x, mask, *, training: bool = False, return_attn: bool = False,
+        no_norm: bool = False,
+    ):
         classes = dense(self.n_classes, name="i_classifier")(x)  # [B,N,C]
         bag_logits, a, bag_feat = BClassifier(
             self.dim, self.n_classes, name="b_classifier"
-        )(x, classes, mask, training=training)
+        )(x, classes, mask, training=training, no_norm=no_norm)
         inst_logits = masked_max(classes, mask[..., None], axis=1)  # [B,C]
 
         out = {
