@@ -139,6 +139,10 @@ class Config:
     title: str = "default"
     project: str = "mil_tpu"
     wandb: bool = False
+    # Per-top-level-module gradient norms as epoch-mean meters (the
+    # reference's wandb.watch gradient logging, main.py:254-255; here they
+    # are computed in-graph, so they log with or without wandb).
+    wandb_watch: bool = False
     log_iter: int = 100
     output_path: str = "./output"
     model_path: Optional[str] = None
@@ -302,7 +306,6 @@ COMPAT_IGNORE = {
     "sdpa_type": "attention kernels are selected by use_flash_attn",
     "tea_type": "teacher is the EMA copy (reference 'same' mode: set "
     "--mm 0 for an always-equal teacher)",
-    "wandb_watch": "gradient watching is not supported",
     "num_workers_test": "host IO is synchronous",
 }
 

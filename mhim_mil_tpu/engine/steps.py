@@ -123,9 +123,21 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
             rng=rng,
         )
         metrics = {"loss": loss, "main_loss": main, "aux_loss": aux}
+        metrics.update(grad_norm_metrics(cfg, grads))
         return new_state, metrics
 
     return train_step
+
+
+def grad_norm_metrics(cfg, grads):
+    """Per-top-level-module gradient global norms (the observability intent
+    of the reference's ``wandb.watch(model)`` gradient logging,
+    main.py:254-255) — computed in-graph under ``--wandb_watch`` so they
+    surface as epoch-mean ``grad_norm/<module>`` meters in the history and,
+    when enabled, wandb."""
+    if not getattr(cfg, "wandb_watch", False):
+        return {}
+    return {f"grad_norm/{k}": optax.global_norm(v) for k, v in grads.items()}
 
 
 def make_eval_step(cfg, model, family: str, params_field: str = "params"):

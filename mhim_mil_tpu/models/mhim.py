@@ -426,6 +426,9 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
             rng=rng,
         )
         metrics = {"loss": loss, "mm": jnp.asarray(mm, jnp.float32), **metrics}
+        from ..engine.steps import grad_norm_metrics
+
+        metrics.update(grad_norm_metrics(cfg, grads))
         return new_state, metrics
 
     return train_step

@@ -563,3 +563,21 @@ def test_fold_start_skips_missing_fold_csvs(tmp_path):
     assert folds[0] == ([], [], [])  # placeholder keeps indexing aligned
     tr, te, va = folds[1]
     assert len(tr) == 6 and len(te) == 2
+
+
+def test_wandb_watch_grad_norm_meters():
+    """--wandb_watch surfaces per-module grad-norm epoch means in the
+    history (the reference's wandb.watch gradient logging intent,
+    main.py:254-255)."""
+    cfg = load_config(
+        [], model="mhim", baseline="attn", datasets="synth", input_dim=32,
+        inner_dim=32, synth_n_slides=8, synth_bag_size=64, bucket_sizes=(64,),
+        batch_size=4, cv_fold=2, num_epoch=1, max_epoch=1, lr=1e-3,
+        lr_sche="const", num_bootstrap=0, mask_ratio=0.5, mask_ratio_h=0.02,
+        aux_alpha=0.5, wandb_watch=True, output_path="",
+    )
+    res = run_experiment(cfg)
+    h0 = res["folds"][0]["history"][0]
+    watched = [k for k in h0 if k.startswith("grad_norm/")]
+    assert any("online_encoder" in k for k in watched), sorted(h0)
+    assert all(np.isfinite(h0[k]) for k in watched)
