@@ -60,8 +60,7 @@ def _make_state_and_step(cfg_overrides=None):
     from mhim_mil_tpu.models.mhim import create_mhim_state, make_mhim_train_step
     from mhim_mil_tpu.utils.schedules import make_lr_schedule
 
-    cfg = load_config(
-        [],
+    kw = dict(
         model="mhim",
         baseline="selfattn",
         input_dim=FEAT_DIM,
@@ -77,8 +76,9 @@ def _make_state_and_step(cfg_overrides=None):
         merge_k=1,
         aux_alpha=0.5,
         attn2score=True,
-        **(cfg_overrides or {}),
     )
+    kw.update(cfg_overrides or {})
+    cfg = load_config([], **kw)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     # feats staged fp32 on purpose: staging them pre-cast to bf16 measured
