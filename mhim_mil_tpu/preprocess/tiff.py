@@ -565,6 +565,10 @@ class RasterSlide:
 
         self._img = np.asarray(Image.open(path).convert("RGB"))
         h, w = self._img.shape[:2]
+        # API uniformity with PyramidalTiff (flat rasters carry no scanner
+        # metadata or associated pages).
+        self.properties: Dict[str, str] = {}
+        self.associated_images: Dict[str, np.ndarray] = {}
         self.level_count = 1
         self.dimensions = (w, h)
         self.level_dimensions = [(w, h)]

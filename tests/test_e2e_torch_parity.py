@@ -505,15 +505,15 @@ def _train_ours_zoo(model_name, train_slides, test_slides):
     ts = make_train_step(cfg, model, family, len(batches))
     ev = make_eval_step(cfg, model, family)
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(SEED)
     for _ in range(cfg.num_epoch):
         order = rng.permutation(len(train_slides))
-        for b in batch_bags([train_slides[i] for i in order], 1, buckets):
+        for b in batch_bags([train_slides[i] for i in order], 1, (BAG,)):
             state, _ = ts(state, {k: jnp.asarray(v) for k, v in b.items()})
 
     scores, labels = [], []
     for s in test_slides:
-        b = next(iter(batch_bags([s], 1, buckets)))
+        b = next(iter(batch_bags([s], 1, (BAG,))))
         logits = ev(state, {k: jnp.asarray(v) for k, v in b.items()})["logits"]
         p = jax.nn.softmax(logits.reshape(1, -1), axis=-1)[0, 1]
         scores.append(float(p))
