@@ -329,7 +329,28 @@ def _host_loss(cfg, logits, targets, cens, events, keep):
 # ---- fold / experiment --------------------------------------------------------
 
 
-def _build_fold(cfg: Config, train_slides, fold_seed: int):
+def _resolve_teacher_init(path: str, fold: int) -> str:
+    """Reference modules/__init__.py:62-67: a non-`.pt` ``--teacher_init`` is
+    a DIRECTORY of a previous (teacher-stage) run, and each fold picks its
+    own ``fold_{k}_model_best`` artifact from it. Accept both this
+    framework's ``.ckpt`` name and the reference's torch ``.pt`` name so a
+    published teacher directory drops in unchanged."""
+    if not os.path.isdir(path):
+        return path
+    cands = [
+        os.path.join(path, f"fold_{fold}_model_best.ckpt"),
+        os.path.join(path, f"fold_{fold}_model_best.pt"),
+    ]
+    for p in cands:
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"--teacher_init directory {path!r} has no fold-{fold} best "
+        f"checkpoint (looked for {[os.path.basename(c) for c in cands]})"
+    )
+
+
+def _build_fold(cfg: Config, train_slides, fold_seed: int, fold: int = 0):
     model, family = build_model(cfg)
     from ..data.bucketing import count_batches
 
@@ -361,10 +382,11 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
             # in.
             from ..utils.checkpoint import load_checkpoint, overlay_params
 
-            if cfg.teacher_init.endswith((".pt", ".pth")):
+            teacher_path = _resolve_teacher_init(cfg.teacher_init, fold)
+            if teacher_path.endswith((".pt", ".pth")):
                 from ..utils.torch_import import load_torch_mhim
 
-                loaded, t_buffers = load_torch_mhim(cfg.teacher_init, cfg.baseline)
+                loaded, t_buffers = load_torch_mhim(teacher_path, cfg.baseline)
                 loaded = jax.tree.map(jnp.asarray, loaded)
                 if t_buffers is not None and "buffers" in state.model_state:
                     new_buf = overlay_params(
@@ -375,7 +397,7 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int):
                         model_state={**state.model_state, "buffers": new_buf}
                     )
             else:
-                loaded = load_checkpoint(cfg.teacher_init)["params"]
+                loaded = load_checkpoint(teacher_path)["params"]
             teacher = overlay_params(
                 jax.tree.map(jnp.copy, state.params), loaded
             )
@@ -455,7 +477,7 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
     reseed = cfg.random_seed or cfg.random_fold
     fold_seed = cfg.seed + 100 * fold if reseed else cfg.seed
     model, family, state, train_step, eval_step, eval_tea = _build_fold(
-        cfg, train_slides, fold_seed
+        cfg, train_slides, fold_seed, fold
     )
     mesh = _maybe_mesh(cfg)
     shard_instances = cfg.mesh_sp > 1

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from mhim_mil_tpu.config import load_config
 from mhim_mil_tpu.engine.driver import run_experiment, get_folds, is_survival
@@ -151,6 +152,22 @@ def test_teacher_init_two_stage(tmp_path):
     )
     res = run_experiment(cfg2)
     assert np.isfinite(res["summary"]["auc"]["mean"])
+
+    # The reference also accepts a DIRECTORY of a stage-1 run, resolving
+    # fold_{k}_model_best per fold (modules/__init__.py:62-67).
+    from mhim_mil_tpu.engine.driver import _resolve_teacher_init
+
+    assert _resolve_teacher_init(str(tmp_path), 1).endswith(
+        "fold_1_model_best.ckpt"
+    )
+    with pytest.raises(FileNotFoundError):
+        _resolve_teacher_init(str(tmp_path), 7)
+    cfg3 = _tiny_cfg(
+        model="mhim", baseline="attn", cv_fold=2,
+        teacher_init=str(tmp_path), output_path="",
+    )
+    res3 = run_experiment(cfg3)
+    assert np.isfinite(res3["summary"]["auc"]["mean"])
 
 
 def test_script_mode_test_only(tmp_path):
