@@ -392,3 +392,51 @@ def test_export_attention_vis_level(tmp_path):
 
     ov = np.asarray(Image.open(out / "sl0_overlay.png"))
     assert ov.shape == (128, 160, 3)  # level-1 size, not a thumbnail
+
+
+def test_make_splits_cli_matches_inmemory_folds(tmp_path):
+    """tools/make_splits.py writes fold_{k}.csv files whose fold membership
+    equals the driver's in-memory k-fold on the same flat CSV (the reference
+    ecosystem's split-writer workflow, CLAM/create_splits_seq.py — here the
+    artifact and the in-memory path must agree exactly)."""
+    import torch
+
+    pt = tmp_path / "store" / "pt_files"
+    pt.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    ids = [f"sp{i}" for i in range(12)]
+    for sid in ids:
+        torch.save(
+            torch.tensor(rng.normal(size=(8, 16)).astype(np.float32)),
+            pt / f"{sid}.pt",
+        )
+    csv = tmp_path / "labels.csv"
+    pd.DataFrame({"ID": ids, "Label": [i % 2 for i in range(12)]}).to_csv(
+        csv, index=False
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from make_splits import make_split_csvs
+
+    out_dir = tmp_path / "splits"
+    paths = make_split_csvs(str(csv), str(out_dir), cv_fold=3, seed=2021)
+    assert [os.path.basename(p) for p in paths] == [
+        f"fold_{k}.csv" for k in range(3)
+    ]
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.engine.driver import get_folds
+
+    def fold_ids(csv_path):
+        cfg = load_config(
+            [], datasets="c16", csv_path=csv_path,
+            dataset_root=str(tmp_path / "store"), cv_fold=3,
+            input_dim=16, bucket_sizes=(8,),
+        )
+        return [
+            tuple(sorted(s["slide"] for s in part) for part in fold)
+            for fold in get_folds(cfg)
+        ]
+
+    assert fold_ids(str(csv)) == fold_ids(str(out_dir))
