@@ -122,7 +122,13 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
             opt_state=new_opt_state,
             rng=rng,
         )
-        metrics = {"loss": loss, "main_loss": main, "aux_loss": aux}
+        metrics = {
+            "loss": loss, "main_loss": main, "aux_loss": aux,
+            # Real padded fraction of the compiled bucket (the reference's
+            # pad_ratio meter is a dead constant 0, engines/common_mil.py:15;
+            # bucketed padding makes it meaningful here).
+            "pad_ratio": 1.0 - jnp.mean(batch["mask"].astype(jnp.float32)),
+        }
         metrics.update(grad_norm_metrics(cfg, grads))
         return new_state, metrics
 

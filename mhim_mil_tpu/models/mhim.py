@@ -398,6 +398,10 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
             "aux_loss": out["aux_loss"],
             "patch_num": jnp.mean(out["patch_num"].astype(jnp.float32)),
             "keep_num": jnp.mean(out["keep_num"].astype(jnp.float32)),
+            # The reference's pad_ratio meter is a dead constant 0
+            # (engines/common_mil.py:15); here bucketed padding is real, so
+            # log the actual padded fraction of the compiled bucket.
+            "pad_ratio": 1.0 - jnp.mean(batch["mask"].astype(jnp.float32)),
         }
         return loss, (new_model_state, metrics)
 

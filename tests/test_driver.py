@@ -498,9 +498,13 @@ def test_train_meters_in_history():
     )
     res = run_experiment(cfg)
     h0 = res["folds"][0]["history"][0]
-    for key in ("patch_num", "keep_num", "mm", "main_loss"):
+    for key in ("patch_num", "keep_num", "mm", "main_loss", "pad_ratio"):
         assert key in h0, (key, sorted(h0))
     assert 0 < h0["keep_num"] <= h0["patch_num"] + cfg.merge_k
+    # pad_ratio counts all padded instance slots of the compiled bucket —
+    # including whole fake bags padding a short batch (6 train slides in
+    # batches of 4 -> the second batch is half fake).
+    assert 0.0 <= h0["pad_ratio"] < 1.0
 
 
 def test_host_loss_matches_cfg_loss():
