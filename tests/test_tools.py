@@ -440,3 +440,30 @@ def test_make_splits_cli_matches_inmemory_folds(tmp_path):
         ]
 
     assert fold_ids(str(csv)) == fold_ids(str(out_dir))
+
+
+def test_pallas_hw_check_harness(tmp_path):
+    """tools/pallas_hw_check.py --interpret --small exercises every kernel
+    check through the CLI (the script itself is the first thing to run on a
+    directly-attached TPU before flipping Config.use_flash_attn; here the
+    interpreter backend pins that the harness and its tolerances are wired
+    correctly)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "pallas_hw_check.py"),
+         "--interpret", "--small"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    import json
+
+    payload = json.loads(line)
+    assert payload["ok"] is True
+    assert set(payload["pallas_hw_check"]) == {
+        "flash_nystrom_infer", "flash_nystrom_vjp",
+        "fused_abmil_pool", "selective_scan_2d",
+    }
+    assert all(
+        v["status"] == "PASS" for v in payload["pallas_hw_check"].values()
+    )
