@@ -212,7 +212,7 @@ def _auc(scores, labels):
 
 
 def _train_reference(env, train_slides, test_slides, baseline="attn",
-                     seed=SEED, num_epoch=None):
+                     seed=SEED, num_epoch=None, recipe=None):
     """The reference's own loop: build_mil MHIM + EMA teacher, CommonMIL
     forward (teacher mines with dropout active), BaseTrainer.train epochs
     (reference main.py:253-268 without early stopping)."""
@@ -241,7 +241,9 @@ def _train_reference(env, train_slides, test_slides, baseline="attn",
             prefetch=False, patch_shuffle=False, distributed=False,
             wandb=False, debug=False, rank=0, world_size=1, fold_curr=0,
             log_iter=10_000,
-            **(HP if num_epoch is None else {**HP, "num_epoch": num_epoch}),
+            **{**HP,
+               **({} if num_epoch is None else {"num_epoch": num_epoch}),
+               **(recipe or {})},
         )
     )
     device = torch.device("cpu")
@@ -281,7 +283,7 @@ def _train_reference(env, train_slides, test_slides, baseline="attn",
 
 
 def _train_ours(train_slides, test_slides, baseline="attn", seed=SEED,
-                buckets=(BAG,), num_epoch=None):
+                buckets=(BAG,), num_epoch=None, recipe=None):
     import jax
     import jax.numpy as jnp
 
@@ -292,7 +294,8 @@ def _train_ours(train_slides, test_slides, baseline="attn", seed=SEED,
     from mhim_mil_tpu.models.mhim import make_mhim_eval_step, make_mhim_train_step
     from mhim_mil_tpu.utils.schedules import make_lr_schedule
 
-    epochs = HP["num_epoch"] if num_epoch is None else num_epoch
+    hp = {**HP, **(recipe or {})}
+    epochs = hp["num_epoch"] if num_epoch is None else num_epoch
     cfg = load_config(
         [], model="mhim", baseline=baseline, datasets="synth",
         batch_size=1, bucket_sizes=buckets, seed=seed, opt="adam",
@@ -300,7 +303,7 @@ def _train_ours(train_slides, test_slides, baseline="attn", seed=SEED,
         mm_sche=False, merge_enable=True, merge_ratio=0.2,
         merge_k=1, merge_mm=0.9998, merge_test=False, inner_dim=512,
         num_epoch=epochs, max_epoch=epochs,
-        **{k: v for k, v in HP.items()
+        **{k: v for k, v in hp.items()
            if k not in ("num_epoch", "main_alpha")},
     )
     batches = list(batch_bags(train_slides, 1, buckets))
@@ -330,12 +333,13 @@ def _train_ours(train_slides, test_slides, baseline="attn", seed=SEED,
 
 
 @pytest.mark.parametrize(
-    "baseline,seed,epochs",
-    [("attn", 3, None), ("attn", 11, None), ("dsmil", 3, 30)],
-    ids=["attn-s3", "attn-s11", "dsmil-s3"],
+    "baseline,seed,recipe",
+    [("attn", 3, None), ("attn", 11, None), ("dsmil", 3, {"num_epoch": 30}),
+     ("selfattn", 3, {"num_epoch": 30, "lr": 2e-4})],
+    ids=["attn-s3", "attn-s11", "dsmil-s3", "selfattn-s3"],
 )
 def test_mhim_training_parity_vs_reference(ref_train_env, baseline, seed,
-                                           epochs):
+                                           recipe):
     """Flagship training-dynamics parity, widened across baselines and
     seeds (round-3 VERDICT next-step #6): the attn AND dsmil MHIM variants
     (reference common_mil.py:25-30 dsmil branch) at two seeds.
@@ -349,12 +353,13 @@ def test_mhim_training_parity_vs_reference(ref_train_env, baseline, seed,
     train_slides, test_slides = _data(seed=seed)
     ref_auc = _train_reference(
         ref_train_env, train_slides, test_slides, baseline=baseline,
-        seed=seed, num_epoch=epochs,
+        seed=seed, recipe=recipe,
     )
     our_auc = _train_ours(
         train_slides, test_slides, baseline=baseline, seed=seed,
-        num_epoch=epochs,
+        recipe=recipe,
     )
+    print(f"[e2e] {baseline}-s{seed}: ref={ref_auc:.3f} ours={our_auc:.3f}")
     if baseline == "attn" and seed == 3:
         # both frameworks must learn the signal, and land together (RNG
         # streams differ, so this is statistical parity, not bitwise)
