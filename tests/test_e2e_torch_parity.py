@@ -212,10 +212,14 @@ def _auc(scores, labels):
 
 
 def _train_reference(env, train_slides, test_slides, baseline="attn",
-                     seed=SEED, num_epoch=None, recipe=None):
+                     seed=SEED, num_epoch=None, recipe=None,
+                     return_model=False):
     """The reference's own loop: build_mil MHIM + EMA teacher, CommonMIL
     forward (teacher mines with dropout active), BaseTrainer.train epochs
-    (reference main.py:253-268 without early stopping)."""
+    (reference main.py:253-268 without early stopping). ``recipe`` entries
+    override ANY arg (model/teacher_init/... included); ``return_model``
+    additionally returns the trained torch module (to export its state_dict
+    as a reference-format teacher artifact)."""
     import contextlib
     import random
 
@@ -229,28 +233,28 @@ def _train_reference(env, train_slides, test_slides, baseline="attn",
         }
         for s in train_slides
     ]
-    args, _ = env.parse(
-        override_dict=dict(
-            model="mhim", baseline=baseline, datasets="biosynth",
-            batch_size=1, accumulation_steps=1, seed=seed,
-            init_stu_type="none", tea_type="none", attn_layer=0,
-            no_tea_init=True, teacher_init=None, mrh_sche=False,
-            mm_sche=False, merge_enable=True, merge_ratio=0.2,
-            merge_k=1, merge_mm=0.9998, merge_test=False,
-            lr_sche="const", lr_supi=False, clip_grad=None, amp=False,
-            prefetch=False, patch_shuffle=False, distributed=False,
-            wandb=False, debug=False, rank=0, world_size=1, fold_curr=0,
-            log_iter=10_000,
-            **{**HP,
-               **({} if num_epoch is None else {"num_epoch": num_epoch}),
-               **(recipe or {})},
-        )
+    override = dict(
+        model="mhim", baseline=baseline, datasets="biosynth",
+        batch_size=1, accumulation_steps=1, seed=seed,
+        init_stu_type="none", tea_type="none", attn_layer=0,
+        no_tea_init=True, teacher_init=None, mrh_sche=False,
+        mm_sche=False, merge_enable=True, merge_ratio=0.2,
+        merge_k=1, merge_mm=0.9998, merge_test=False,
+        lr_sche="const", lr_supi=False, clip_grad=None, amp=False,
+        prefetch=False, patch_shuffle=False, distributed=False,
+        wandb=False, debug=False, rank=0, world_size=1, fold_curr=0,
+        log_iter=10_000,
+        **HP,
     )
+    if num_epoch is not None:
+        override["num_epoch"] = num_epoch
+    override.update(recipe or {})
+    args, _ = env.parse(override_dict=override)
     device = torch.device("cpu")
     args.device = device  # not via override_dict: the helper yaml-dumps args
 
     model, others = env.build_model(args, device, loader)
-    model_ema = others["model_ema"]
+    model_ema = others.get("model_ema")  # absent for --model mhim_pure
     criterion = torch.nn.CrossEntropyLoss()
     optimizer = torch.optim.Adam(
         model.parameters(), lr=args.lr, weight_decay=args.weight_decay
@@ -279,7 +283,8 @@ def _train_reference(env, train_slides, test_slides, baseline="attn",
                 logits = 0.5 * logits[0] + 0.5 * logits[1]
             scores.append(torch.softmax(logits.view(1, -1), -1)[0, 1].item())
             labels.append(int(s["target"]))
-    return _auc(scores, labels)
+    auc = _auc(scores, labels)
+    return (auc, model) if return_model else auc
 
 
 def _train_ours(train_slides, test_slides, baseline="attn", seed=SEED,
@@ -304,17 +309,27 @@ def _train_ours(train_slides, test_slides, baseline="attn", seed=SEED,
         merge_k=1, merge_mm=0.9998, merge_test=False, inner_dim=512,
         num_epoch=epochs, max_epoch=epochs,
         **{k: v for k, v in hp.items()
-           if k not in ("num_epoch", "main_alpha")},
+           if k not in ("num_epoch", "main_alpha", "model", "no_tea_init")},
     )
     batches = list(batch_bags(train_slides, 1, buckets))
-    model, family = build_model(cfg)
-    lr = make_lr_schedule(cfg, len(batches))
-    sample = {k: jnp.asarray(v) for k, v in batches[0].items()}
-    state = create_train_state(
-        cfg, model, jax.random.PRNGKey(seed), sample, lr, with_teacher=True
-    )
-    ts = make_mhim_train_step(cfg, model, len(batches))
-    ev = make_mhim_eval_step(cfg, model)
+    if cfg.teacher_init:
+        # Two-stage recipe: build through the driver's own fold builder so
+        # the directory resolution, torch-teacher import and init_stu_type
+        # overlay are the PRODUCTION path, not a test re-implementation.
+        from mhim_mil_tpu.engine.driver import _build_fold
+
+        model, family, state, ts, ev, _ = _build_fold(
+            cfg, train_slides, fold_seed=seed, fold=0
+        )
+    else:
+        model, family = build_model(cfg)
+        lr = make_lr_schedule(cfg, len(batches))
+        sample = {k: jnp.asarray(v) for k, v in batches[0].items()}
+        state = create_train_state(
+            cfg, model, jax.random.PRNGKey(seed), sample, lr, with_teacher=True
+        )
+        ts = make_mhim_train_step(cfg, model, len(batches))
+        ev = make_mhim_eval_step(cfg, model)
 
     rng = np.random.default_rng(seed)
     for _ in range(cfg.num_epoch):
@@ -389,6 +404,46 @@ def test_mhim_training_parity_ragged_c16_shaped(ref_train_env):
     )
     assert ref_auc > 0.8, f"reference failed to learn: AUC={ref_auc:.3f}"
     assert our_auc > 0.8, f"ours failed to learn: AUC={our_auc:.3f}"
+    assert abs(ref_auc - our_auc) < 0.12, (ref_auc, our_auc)
+
+
+def test_mhim_two_stage_teacher_init_parity(ref_train_env, tmp_path):
+    """The published two-stage recipe, raced end-to-end: stage 1 trains a
+    `--model mhim_pure` teacher with the REFERENCE'S OWN loop and saves it
+    in the reference's best-checkpoint format (main.py:348-353); stage 2
+    trains `--model mhim --teacher_init <dir> --init_stu_type fc` on BOTH
+    frameworks from that SAME torch artifact (reference consumes it via
+    modules/__init__.py:62-67,157-214; ours via the driver's
+    _resolve_teacher_init + load_torch_mhim + fc overlay — the production
+    path, exercised cross-framework)."""
+    env = ref_train_env
+    train_slides, test_slides = _data()
+
+    pure_auc, pure_model = _train_reference(
+        env, train_slides, test_slides,
+        recipe={"model": "mhim_pure", "merge_enable": False},
+        return_model=True,
+    )
+    assert pure_auc > 0.8, f"stage-1 teacher failed to learn: {pure_auc:.3f}"
+    tdir = tmp_path / "teacher_stage"
+    tdir.mkdir()
+    env.torch.save(
+        {"model": pure_model.state_dict(), "epoch": HP["num_epoch"]},
+        tdir / "fold_0_model_best.pt",
+    )
+
+    stage2 = {
+        "teacher_init": str(tdir), "no_tea_init": False,
+        "init_stu_type": "fc", "num_epoch": 10,
+    }
+    ref_auc = _train_reference(env, train_slides, test_slides, recipe=stage2)
+    our_auc = _train_ours(train_slides, test_slides, recipe=stage2)
+    print(f"[e2e] two-stage: pure={pure_auc:.3f} ref={ref_auc:.3f} "
+          f"ours={our_auc:.3f}")
+    # A pretrained teacher should keep stage 2 at (or above) teacher quality
+    # on both frameworks, and together.
+    assert ref_auc > 0.8, f"reference stage 2 collapsed: {ref_auc:.3f}"
+    assert our_auc > 0.8, f"our stage 2 collapsed: {our_auc:.3f}"
     assert abs(ref_auc - our_auc) < 0.12, (ref_auc, our_auc)
 
 
