@@ -327,6 +327,7 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+        f.write("\n")
 
     print(
         json.dumps(

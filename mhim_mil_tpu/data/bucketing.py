@@ -43,8 +43,14 @@ def batch_bags(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Group slides into batches of bags sharing one bucket size.
 
-    Slides are ordered by bucket (so batches are shape-homogeneous), shuffled
-    within buckets when ``shuffle``. Emits dicts with ``feats[B,N,D]``,
+    Batches are shape-homogeneous (all bags of a batch share one bucket), but
+    when ``shuffle`` the emitted *batch order* is a single global permutation
+    across buckets — not bucket-grouped. The reference shuffles bags uniformly
+    (reference datasets/dataloader.py:30-38); emitting all batches of one
+    bucket consecutively would make epoch order correlate with bag length
+    (length correlates with slide content → a curriculum-shaped divergence,
+    round-4 VERDICT weak #4). Bags are also shuffled within buckets so batch
+    membership varies per epoch seed. Emits dicts with ``feats[B,N,D]``,
     ``mask[B,N]``, ``bag_valid[B]`` plus the requested label keys. Short final
     batches are padded with zero bags (``bag_valid=False``) unless
     ``drop_last``.
@@ -55,10 +61,8 @@ def batch_bags(
         b = pick_bucket(len(s["feats"]), buckets)
         by_bucket.setdefault(b, []).append(i)
 
-    bucket_order = list(by_bucket)
-    if shuffle:
-        rng.shuffle(bucket_order)
-    for b in bucket_order:
+    chunks: List = []  # (bucket, [slide idx, ...]) in emission order
+    for b in sorted(by_bucket):
         idxs = by_bucket[b]
         if shuffle:
             rng.shuffle(idxs)
@@ -66,28 +70,32 @@ def batch_bags(
             chunk = idxs[start : start + batch_size]
             if len(chunk) < batch_size and drop_last:
                 continue
-            feats = np.zeros((batch_size, b, slides[0]["feats"].shape[1]), np.float32)
-            mask = np.zeros((batch_size, b), bool)
-            bag_valid = np.zeros((batch_size,), bool)
-            # survival event times are continuous; all other labels are ints
-            extras = {
-                k: np.zeros((batch_size,), np.float32 if k == "event" else np.int32)
-                for k in extra_keys
-            }
-            with_pos = any("pos" in slides[idx] for idx in chunk)
-            pos = np.zeros((batch_size, b, 2), np.int32) if with_pos else None
-            for j, idx in enumerate(chunk):
-                f, m = pad_bag(slides[idx]["feats"], b)
-                feats[j], mask[j], bag_valid[j] = f, m, True
-                if with_pos and "pos" in slides[idx]:
-                    p = slides[idx]["pos"]
-                    pos[j, : len(p)] = p
-                for k in extra_keys:
-                    extras[k][j] = slides[idx].get(k, 0)
-            batch = {"feats": feats, "mask": mask, "bag_valid": bag_valid, **extras}
-            if with_pos:
-                batch["pos"] = pos
-            yield batch
+            chunks.append((b, chunk))
+    if shuffle:
+        rng.shuffle(chunks)
+    for b, chunk in chunks:
+        feats = np.zeros((batch_size, b, slides[0]["feats"].shape[1]), np.float32)
+        mask = np.zeros((batch_size, b), bool)
+        bag_valid = np.zeros((batch_size,), bool)
+        # survival event times are continuous; all other labels are ints
+        extras = {
+            k: np.zeros((batch_size,), np.float32 if k == "event" else np.int32)
+            for k in extra_keys
+        }
+        with_pos = any("pos" in slides[idx] for idx in chunk)
+        pos = np.zeros((batch_size, b, 2), np.int32) if with_pos else None
+        for j, idx in enumerate(chunk):
+            f, m = pad_bag(slides[idx]["feats"], b)
+            feats[j], mask[j], bag_valid[j] = f, m, True
+            if with_pos and "pos" in slides[idx]:
+                p = slides[idx]["pos"]
+                pos[j, : len(p)] = p
+            for k in extra_keys:
+                extras[k][j] = slides[idx].get(k, 0)
+        batch = {"feats": feats, "mask": mask, "bag_valid": bag_valid, **extras}
+        if with_pos:
+            batch["pos"] = pos
+        yield batch
 
 
 def count_batches(
