@@ -79,6 +79,10 @@ def _make_state_and_step(cfg_overrides=None):
     )
     kw.update(cfg_overrides or {})
     cfg = load_config([], **kw)
+    if cfg.use_flash_attn is None:  # auto: probe Mosaic, log the outcome
+        from mhim_mil_tpu.utils.pallas_gate import resolve_pallas_gate
+
+        cfg, _probe = resolve_pallas_gate(cfg)
     model, _ = build_model(cfg)
     rng = np.random.default_rng(0)
     # feats staged fp32 on purpose: staging them pre-cast to bf16 measured

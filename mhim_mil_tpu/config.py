@@ -160,7 +160,11 @@ class Config:
     # ---- TPU-specific (no reference equivalent) ----
     bucket_sizes: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay fp32
-    use_flash_attn: bool = False  # fused Pallas Nystrom on no-grad TPU paths
+    # Fused Pallas kernels (Nystrom / pooling / 2D scan). None = auto: probe
+    # whether the backend compiles Mosaic natively at startup and flip on
+    # green (utils/pallas_gate.py; round-4 VERDICT next #7 — the flag must
+    # not depend on a human reading CLAUDE.md). Explicit True/False wins.
+    use_flash_attn: Optional[bool] = None
     mesh_dp: int = -1  # -1 = all devices on the dp axis
     mesh_sp: int = 1   # instance-axis (sequence) sharding factor
     synth_n_slides: int = 64  # synthetic dataset size (datasets='synth')
@@ -173,7 +177,11 @@ class Config:
 
 def _coerce(value: str, ftype):
     """Coerce a CLI string into the dataclass field's type."""
-    if ftype is bool or ftype == Optional[bool]:
+    if ftype == Optional[bool]:
+        if value.lower() == "none":
+            return None
+        return value.lower() in ("1", "true", "yes", "y")
+    if ftype is bool:
         return value.lower() in ("1", "true", "yes", "y")
     for t in (int, float):
         if ftype is t:

@@ -734,6 +734,9 @@ def run_experiment(cfg: Config) -> Dict:
     import dataclasses
 
     from ..utils.logging import RunLogger, git_provenance
+    from ..utils.pallas_gate import resolve_pallas_gate
+
+    cfg, pallas_probe = resolve_pallas_gate(cfg)
 
     logger = RunLogger(
         cfg.output_path, project=cfg.project, title=cfg.title,
@@ -742,6 +745,7 @@ def run_experiment(cfg: Config) -> Dict:
     prov = git_provenance(auto_commit=cfg.auto_commit)
     if prov:
         logger.log({f"provenance/{k}": v for k, v in prov.items()})
+    logger.log({f"pallas_gate/{k}": v for k, v in pallas_probe.items()})
     folds = get_folds(cfg)
     results = []
     for k, (tr, te, va) in enumerate(folds):

@@ -467,3 +467,30 @@ def test_pallas_hw_check_harness(tmp_path):
     assert all(
         v["status"] == "PASS" for v in payload["pallas_hw_check"].values()
     )
+
+
+def test_pallas_gate_resolution():
+    """Auto use_flash_attn must resolve to off on non-native-TPU backends
+    (probe skipped, logged), and explicit settings must always win
+    (round-4 VERDICT next #7)."""
+    from mhim_mil_tpu.config import load_config
+    from mhim_mil_tpu.utils.pallas_gate import resolve_pallas_gate
+
+    lines = []
+    cfg = load_config([])
+    assert cfg.use_flash_attn is None  # auto by default
+    cfg2, res = resolve_pallas_gate(cfg, log=lines.append)
+    assert cfg2.use_flash_attn is False  # CPU test backend: probe skipped
+    assert res["outcome"] == "skipped" and lines and "pallas-gate" in lines[0]
+
+    for explicit in (True, False):
+        cfg3, res = resolve_pallas_gate(
+            cfg.replace(use_flash_attn=explicit), log=lines.append
+        )
+        assert cfg3.use_flash_attn is explicit
+        assert res["outcome"] == "explicit"
+
+    # CLI spelling: --use_flash_attn none keeps auto; true/false pin it
+    assert load_config(["--use_flash_attn", "none"]).use_flash_attn is None
+    assert load_config(["--use_flash_attn", "true"]).use_flash_attn is True
+    assert load_config(["--use_flash_attn", "false"]).use_flash_attn is False
