@@ -346,10 +346,29 @@ def create_mhim_state(
     )
 
 
-def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = False):
+def make_mhim_train_step(
+    cfg, model: MHIM, steps_per_epoch: int, donate: bool = False,
+    ablate: str | None = None, jit: bool = True,
+):
     """One fused XLA program: teacher forward → mining mask → student forward
     → CE + consistency → update → teacher EMA (reference splits this across
-    engines/common_mil.py:14-31 and engines/base_engine.py:46-167)."""
+    engines/common_mil.py:14-31 and engines/base_engine.py:46-167).
+
+    ``ablate`` builds a diagnostic VARIANT of the step with one component
+    removed, for the in-step timing decomposition (tools/step_breakdown.py —
+    separate-program timings are confounded by the per-call dispatch floor,
+    round-4 VERDICT weak #2). Living here keeps the variants structurally
+    identical to the real step. Values:
+
+      'no_teacher'  — teacher forward replaced by a fixed uniform attention
+                      and a zero teacher feature (mining/merge/losses still
+                      run); full − this = in-step teacher cost
+      'fwd_only'    — losses computed without grad; no update, no EMA
+      'no_opt_ema'  — grads computed (consumed via a global-norm metric so
+                      the backward survives DCE) but no update, no EMA
+      'no_ema'      — Adam update applied, teacher EMA skipped
+    """
+    assert ablate in (None, "no_teacher", "fwd_only", "no_opt_ema", "no_ema")
     criterion = build_criterion(cfg)
     total_steps = max(cfg.num_epoch * steps_per_epoch, 1)
     is_pure = cfg.model == "mhim_pure"
@@ -374,16 +393,29 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
                 method=MHIM.pure,
             )
         else:
-            # training=True: the reference's EMA teacher mines with dropout
-            # ACTIVE (model_ema.train(), base_engine.py:37-38).
-            cls_tea, attn = model.apply(
-                {"params": teacher_params, **model_state},
-                batch["feats"], batch["mask"],
-                training=True, rngs={"dropout": tea_rng},
-                method=MHIM.forward_teacher,
-            )
-            cls_tea = None if cfg.aux_alpha == 0.0 else jax.lax.stop_gradient(cls_tea)
-            attn = jax.lax.stop_gradient(attn)
+            if ablate == "no_teacher":
+                attn = jax.random.uniform(
+                    jax.random.PRNGKey(0), batch["mask"].shape
+                )
+                cls_tea = (
+                    None if cfg.aux_alpha == 0.0
+                    else jnp.zeros(
+                        (batch["mask"].shape[0], cfg.inner_dim), jnp.float32
+                    )
+                )
+            else:
+                # training=True: the reference's EMA teacher mines with
+                # dropout ACTIVE (model_ema.train(), base_engine.py:37-38).
+                cls_tea, attn = model.apply(
+                    {"params": teacher_params, **model_state},
+                    batch["feats"], batch["mask"],
+                    training=True, rngs={"dropout": tea_rng},
+                    method=MHIM.forward_teacher,
+                )
+                cls_tea = (
+                    None if cfg.aux_alpha == 0.0 else jax.lax.stop_gradient(cls_tea)
+                )
+                attn = jax.lax.stop_gradient(attn)
             mrh = mrh_sche(step) if mrh_sche is not None else None
             out, new_model_state = model.apply(
                 {"params": params, **model_state},
@@ -405,19 +437,36 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
         }
         return loss, (new_model_state, metrics)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: MILTrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
+        if ablate == "fwd_only":
+            loss, (new_model_state, metrics) = loss_fn(
+                state.params, state.model_state, state.teacher_params,
+                step_rng, batch, state.step,
+            )
+            new_state = state.replace(
+                step=state.step + 1, model_state=new_model_state, rng=rng
+            )
+            return new_state, {"loss": loss, **metrics}
         (loss, (new_model_state, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.model_state, state.teacher_params, step_rng,
           batch, state.step)
+        if ablate == "no_opt_ema":
+            # Consume the grads through a scalar so the backward pass
+            # survives dead-code elimination.
+            new_state = state.replace(
+                step=state.step + 1, model_state=new_model_state, rng=rng
+            )
+            return new_state, {
+                "loss": loss, "gnorm": optax.global_norm(grads), **metrics,
+            }
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # Teacher EMA (reference base_engine.py:155-167).
         mm = mm_sche(state.step) if mm_sche is not None else cfg.mm
         new_teacher = state.teacher_params
-        if not is_pure:
+        if not is_pure and ablate != "no_ema":
             from ..engine.steps import ema_update
 
             new_teacher = ema_update(state.teacher_params, new_params, mm)
@@ -435,7 +484,42 @@ def make_mhim_train_step(cfg, model: MHIM, steps_per_epoch: int, donate: bool = 
         metrics.update(grad_norm_metrics(cfg, grads))
         return new_state, metrics
 
-    return train_step
+    if not jit:  # raw body, e.g. as a lax.scan body (make_mhim_multi_step)
+        return train_step
+    return partial(jax.jit, donate_argnums=(0,) if donate else ())(train_step)
+
+
+def make_mhim_multi_step(
+    cfg, model: MHIM, steps_per_epoch: int, n_steps: int, donate: bool = False,
+):
+    """ONE jitted program executing ``n_steps`` train steps via ``lax.scan``
+    over a stacked batch (every leaf gains a leading ``[n_steps]`` axis).
+
+    Semantically identical to ``n_steps`` successive single-step calls — the
+    scan body IS the single step's body, so RNG threading, EMA/mm schedules
+    (driven by the carried ``state.step``) and op order are unchanged
+    (equality-tested in tests/test_mhim.py). What changes is the host
+    boundary: the per-call dispatch cost — measured at ~5.4 ms/call on the
+    remote-TPU rig for the flagship arg tree (tools/step_breakdown.py's null
+    probe), and nonzero even on healthy hosts — is paid once per ``n_steps``
+    instead of every step. The reference dispatches eagerly per step and
+    syncs the host every step for its set-ops masking
+    (reference engines/base_engine.py:46-167, masking.py:60-88), so this
+    whole axis of cost does not exist in its design.
+
+    The input pipeline supplies same-geometry stacks: length-bucketed
+    batches are grouped ``n_steps`` at a time within a bucket
+    (data/bucketing.py ``stack_batches``), with group order globally
+    shuffled; set ``steps_per_call=1`` to reproduce the reference's
+    per-batch shuffle granularity exactly (docs/PARITY.md).
+    """
+    body = make_mhim_train_step(cfg, model, steps_per_epoch, jit=False)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state: MILTrainState, stacked_batch):
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return multi_step
 
 
 def make_mhim_eval_step(cfg, model: MHIM, use_teacher: bool = False):

