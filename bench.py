@@ -268,6 +268,51 @@ def main() -> None:
     dense_bps = float(np.median(dense_rates))
     ragged_bps = float(np.median(ragged_rates))
 
+    # 2b. steps_per_call=15 training (make_mhim_multi_step: lax.scan over a
+    #     stacked batch, equality-tested vs single steps, driver-wired via
+    #     --steps_per_call). Amortizes the per-call dispatch cost — the
+    #     round-5 in-step decomposition measured a 6.35 ms/call null-program
+    #     floor of which ~1.4 ms/step stays exposed (serialized) in the real
+    #     chained single-step loop. Windows span 3 chained calls (45 steps,
+    #     one sync) so the window-end host round-trip (~35 ms) amortizes the
+    #     same way a real epoch does.
+    from mhim_mil_tpu.models.mhim import make_mhim_multi_step
+
+    N_STACK, CALLS_PER_WINDOW = 15, 3
+    multi = make_mhim_multi_step(cfg, model, 10)
+    stacked = {
+        k: jnp.broadcast_to(v, (N_STACK,) + v.shape) for k, v in batch.items()
+    }
+    ms_state, mm = multi(state, stacked)  # compile
+    float(np.asarray(mm["loss"])[-1])
+    for _ in range(max(WARMUP_STEPS // N_STACK, 2)):
+        ms_state, mm = multi(ms_state, stacked)
+    float(np.asarray(mm["loss"])[-1])
+    multi_rates = []
+    for _ in range(N_WINDOWS):
+        ms_state, mm = multi(ms_state, stacked)  # drain
+        float(np.asarray(mm["loss"])[-1])
+        t0 = time.perf_counter()
+        for _ in range(CALLS_PER_WINDOW):
+            ms_state, mm = multi(ms_state, stacked)
+        float(np.asarray(mm["loss"])[-1])
+        multi_rates.append(
+            CALLS_PER_WINDOW * N_STACK * BATCH / (time.perf_counter() - t0)
+        )
+    if _spread(multi_rates) > STEADY_SPREAD:
+        for _ in range(N_WINDOWS):
+            ms_state, mm = multi(ms_state, stacked)
+            float(np.asarray(mm["loss"])[-1])
+            t0 = time.perf_counter()
+            for _ in range(CALLS_PER_WINDOW):
+                ms_state, mm = multi(ms_state, stacked)
+            float(np.asarray(mm["loss"])[-1])
+            multi_rates.append(
+                CALLS_PER_WINDOW * N_STACK * BATCH / (time.perf_counter() - t0)
+            )
+    multi_bps = float(np.median(multi_rates))
+    del ms_state, stacked
+
     # 3. p50/p90 per-slide inference latency (batch=1 forward_test, jitted,
     #    including the host round-trip — what a deployed scorer would see).
     #    The per-call sync floor of the link is measured alongside: over the
@@ -411,10 +456,20 @@ def main() -> None:
     detail = {
         "dense_bags_per_sec": round(dense_bps, 2),
         "ragged_bags_per_sec": round(ragged_bps, 2),
+        "multi_step_bags_per_sec": round(multi_bps, 2),
         "dense_windows": [round(r, 2) for r in dense_rates],
         "ragged_windows": [round(r, 2) for r in ragged_rates],
+        "multi_step_windows": [round(r, 2) for r in multi_rates],
         "dense_spread": round(_spread(dense_rates), 4),
         "ragged_spread": round(_spread(ragged_rates), 4),
+        "multi_step_spread": round(_spread(multi_rates), 4),
+        "multi_step_config": {
+            "steps_per_call": N_STACK,
+            "calls_per_window": CALLS_PER_WINDOW,
+            "note": "make_mhim_multi_step (lax.scan over stacked batches), "
+            "bit-equal dynamics to single steps (tests/test_mhim.py), "
+            "driver-wired via --steps_per_call",
+        },
         "window_steps": WINDOW_STEPS,
         "step_decomposition": decomposition,
         "epoch_sim": epoch_sim,
@@ -441,15 +496,23 @@ def main() -> None:
         json.dump(detail, f, indent=1)
         f.write("\n")
 
+    # Headline: the best sustained training configuration. steps_per_call=15
+    # (the default capture winner) is a real driver path with equality-tested
+    # dynamics; the steps_per_call=1 dense rate is recorded alongside for
+    # protocol continuity with r01–r04.
+    best_bps, best_cfg = max(
+        (dense_bps, "steps_per_call=1"), (multi_bps, "steps_per_call=15")
+    )
     print(
         json.dumps(
             {
                 "metric": "mhim_train_bags_per_sec_10k",
-                "value": round(dense_bps, 2),
+                "value": round(best_bps, 2),
                 "unit": "bags/sec/chip (10240x1024 bags, MHIM selfattn train "
-                f"step; ragged {round(ragged_bps, 1)} b/s, infer p50 "
+                f"step, {best_cfg}; spc1 dense {round(dense_bps, 1)} b/s, "
+                f"ragged {round(ragged_bps, 1)} b/s, infer p50 "
                 f"{round(p50, 1)} ms — bench_detail.json)",
-                "vs_baseline": round(dense_bps / A100_BASELINE_BAGS_PER_SEC, 2),
+                "vs_baseline": round(best_bps / A100_BASELINE_BAGS_PER_SEC, 2),
             }
         )
     )

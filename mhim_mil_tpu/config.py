@@ -167,6 +167,12 @@ class Config:
     use_flash_attn: Optional[bool] = None
     mesh_dp: int = -1  # -1 = all devices on the dp axis
     mesh_sp: int = 1   # instance-axis (sequence) sharding factor
+    # Train steps executed per jitted call (lax.scan over a stacked batch,
+    # models/mhim.py make_mhim_multi_step). Semantically identical to
+    # steps_per_call successive single steps (equality-tested); amortizes
+    # the per-call dispatch floor (~5 ms/call on remote-TPU links,
+    # tools/step_breakdown.py null probe). 1 = reference granularity.
+    steps_per_call: int = 1
     synth_n_slides: int = 64  # synthetic dataset size (datasets='synth')
     synth_bag_size: int = 256
     eval_bucket: Optional[int] = None

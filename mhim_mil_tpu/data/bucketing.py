@@ -98,6 +98,46 @@ def batch_bags(
         yield batch
 
 
+def stack_batches(
+    batch_iter: Iterator[Dict[str, np.ndarray]], n_steps: int,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Group same-geometry batches ``n_steps`` at a time into stacked batches
+    for ``make_mhim_multi_step`` (every leaf gains a leading ``[k]`` axis,
+    k ≤ n_steps).
+
+    Consumes the (already globally-shuffled) stream from :func:`batch_bags`
+    and emits a bucket's group the moment it has ``n_steps`` members, so
+    emission order follows the incoming shuffle at group granularity. Steps
+    inside a stack execute in stream order (the scan carries state through),
+    so training dynamics are IDENTICAL to per-batch calls — only the host
+    dispatch boundary moves. Groups never mix buckets (XLA needs
+    shape-homogeneous stacks); each bucket's final partial group is emitted
+    as a smaller stack at end of stream, bounding compiled programs to at
+    most two leading-axis sizes per bucket per epoch.
+
+    The one ordering divergence vs the reference's uniform per-bag shuffle
+    (reference datasets/dataloader.py:30-38): ``n_steps`` consecutive
+    optimizer steps always come from one length bucket (docs/PARITY.md);
+    ``steps_per_call=1`` reproduces per-batch granularity exactly.
+    """
+    assert n_steps >= 1
+    pending: Dict[tuple, List[Dict[str, np.ndarray]]] = {}
+
+    def stacked(group):
+        return {k: np.stack([b[k] for b in group]) for k in group[0]}
+
+    for b in batch_iter:
+        key = (b["mask"].shape[1], frozenset(b.keys()))
+        group = pending.setdefault(key, [])
+        group.append(b)
+        if len(group) == n_steps:
+            yield stacked(group)
+            pending[key] = []
+    for group in pending.values():
+        if group:
+            yield stacked(group)
+
+
 def count_batches(
     slides: List[Dict],
     batch_size: int,

@@ -350,6 +350,14 @@ def _resolve_teacher_init(path: str, fold: int) -> str:
     )
 
 
+def _effective_steps_per_call(cfg: Config) -> int:
+    """steps_per_call, demoted to 1 under a device mesh (the stacked batch's
+    leading scan axis would collide with the dp batch sharding; mesh training
+    keeps per-batch calls)."""
+    meshed = (cfg.mesh_dp != -1 or cfg.mesh_sp > 1) and jax.device_count() > 1
+    return 1 if meshed else max(1, cfg.steps_per_call)
+
+
 def _build_fold(cfg: Config, train_slides, fold_seed: int, fold: int = 0):
     model, family = build_model(cfg)
     from ..data.bucketing import count_batches
@@ -418,14 +426,29 @@ def _build_fold(cfg: Config, train_slides, fold_seed: int, fold: int = 0):
             else:
                 raise ValueError(f"unknown init_stu_type: {cfg.init_stu_type}")
             state = state.replace(params=stu, teacher_params=teacher)
-        train_step = make_mhim_train_step(cfg, model, n_batches)
+        if _effective_steps_per_call(cfg) > 1:
+            # lax.scan over stacked batches: steps_per_call optimizer steps
+            # per jitted call, semantically identical to single steps
+            # (equality-tested, tests/test_mhim.py) — amortizes the per-call
+            # dispatch floor. Input stacks come from data.bucketing
+            # stack_batches in the epoch loop.
+            from ..models.mhim import make_mhim_multi_step
+
+            train_step = make_mhim_multi_step(cfg, model, n_batches)
+        else:
+            train_step = make_mhim_train_step(cfg, model, n_batches)
         eval_step = make_mhim_eval_step(cfg, model)
         eval_tea = make_mhim_eval_step(cfg, model, use_teacher=True)
     else:
         state = create_train_state(
             cfg, model, rng, sample, lr_sched, with_teacher=cfg.model_ema
         )
-        train_step = make_train_step(cfg, model, family, n_batches)
+        if _effective_steps_per_call(cfg) > 1:
+            from .steps import make_multi_step
+
+            train_step = make_multi_step(cfg, model, family, n_batches)
+        else:
+            train_step = make_train_step(cfg, model, family, n_batches)
         eval_step = make_eval_step(cfg, model, family)
         # generic-EMA validation for non-MHIM models (reference main.py:225-226)
         eval_tea = (
@@ -573,20 +596,29 @@ def one_fold(cfg: Config, fold: int, train_slides, test_slides, val_slides,
         # skip parameter updates (reference main.py:263-268)
         if cfg.script_mode != "no_train":
             try:
-                for jb in _prefetch_to_device(
-                    _iter_batches(
-                        cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
-                        patch_shuffle=cfg.patch_shuffle,
-                    ),
-                    mesh, shard_instances,
-                ):
+                batch_it = _iter_batches(
+                    cfg, train_slides, shuffle=True, seed=fold_seed + epoch,
+                    patch_shuffle=cfg.patch_shuffle,
+                )
+                stacked = cfg.steps_per_call > 1 and mesh is None
+                if stacked:
+                    # steps_per_call optimizer steps per jitted call
+                    # (lax.scan over the stacked batch); under a mesh the
+                    # leading axis would collide with the dp sharding, so
+                    # meshes keep per-batch calls.
+                    from ..data.bucketing import stack_batches
+
+                    batch_it = stack_batches(batch_it, cfg.steps_per_call)
+                for jb in _prefetch_to_device(batch_it, mesh, shard_instances):
                     state, tm = train_step(state, jb)
                     # epoch-mean meters (reference base_engine.py:16-21,
                     # 179-218: loss + MHIM patch_num/keep_num/mm); the sums
                     # accumulate lazily on device — one host fetch/epoch.
+                    k_steps = int(jb["bag_valid"].shape[0]) if stacked else 1
                     for k, v in tm.items():
+                        v = jnp.sum(v, axis=0) if stacked else v
                         meter_sums[k] = v if k not in meter_sums else meter_sums[k] + v
-                    n_steps += 1
+                    n_steps += k_steps
             except KeyboardInterrupt:
                 # Ctrl-C falls through to the final test on the best-so-far
                 # checkpoints (reference main.py:381-382).

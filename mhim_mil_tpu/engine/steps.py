@@ -35,7 +35,8 @@ def cast_compute(cfg, params, batch):
     return params, batch
 
 
-def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool = False):
+def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool = False,
+                    jit: bool = True):
     """Build the jitted train step for a model family.
 
     ``donate`` buffer-donates the train state; off by default because donation
@@ -101,7 +102,6 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
     use_ema = getattr(cfg, "model_ema", False)
     ema_decay = getattr(cfg, "model_ema_decay", 0.9998)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: MILTrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
         (loss, (new_model_state, main, aux)), grads = jax.value_and_grad(
@@ -132,7 +132,24 @@ def make_train_step(cfg, model, family: str, steps_per_epoch: int, donate: bool 
         metrics.update(grad_norm_metrics(cfg, grads))
         return new_state, metrics
 
-    return train_step
+    if not jit:  # raw body, e.g. as a lax.scan body (make_multi_step)
+        return train_step
+    return partial(jax.jit, donate_argnums=(0,) if donate else ())(train_step)
+
+
+def make_multi_step(cfg, model, family: str, steps_per_epoch: int,
+                    donate: bool = False):
+    """ONE jitted program executing k generic train steps via ``lax.scan``
+    over a stacked batch (leaves gain a leading ``[k]`` axis) — the zoo
+    counterpart of models/mhim.py ``make_mhim_multi_step``; see there for the
+    dispatch-floor rationale and ordering-granularity note."""
+    body = make_train_step(cfg, model, family, steps_per_epoch, jit=False)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state: MILTrainState, stacked_batch):
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return multi_step
 
 
 def grad_norm_metrics(cfg, grads):

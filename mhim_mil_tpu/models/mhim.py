@@ -490,10 +490,13 @@ def make_mhim_train_step(
 
 
 def make_mhim_multi_step(
-    cfg, model: MHIM, steps_per_epoch: int, n_steps: int, donate: bool = False,
+    cfg, model: MHIM, steps_per_epoch: int, donate: bool = False,
 ):
-    """ONE jitted program executing ``n_steps`` train steps via ``lax.scan``
-    over a stacked batch (every leaf gains a leading ``[n_steps]`` axis).
+    """ONE jitted program executing k train steps via ``lax.scan`` over a
+    stacked batch (every leaf gains a leading ``[k]`` axis; the scan length
+    comes from the stack, so one returned callable serves full
+    ``steps_per_call`` stacks and the smaller end-of-epoch remainders —
+    each distinct k compiles once).
 
     Semantically identical to ``n_steps`` successive single-step calls — the
     scan body IS the single step's body, so RNG threading, EMA/mm schedules

@@ -270,3 +270,59 @@ def test_shuffle_interleaves_buckets():
     # deterministic per seed, different across seeds
     assert epoch(0) == ep
     assert epoch(1) != ep
+
+
+def test_stack_batches_grouping_and_content():
+    """stack_batches must emit bucket-homogeneous stacks of exactly n_steps
+    batches (remainders smaller, at most one per bucket), preserve every
+    batch exactly once, and preserve within-stack stream order (the scan
+    executes steps in stack order, so stream order = training order)."""
+    from mhim_mil_tpu.data.bucketing import batch_bags, stack_batches
+
+    rng = np.random.default_rng(7)
+    lens = [6] * 14 + [50] * 10 + [400] * 6
+    slides = [
+        {"feats": rng.normal(size=(n, 4)).astype(np.float32), "target": i}
+        for i, n in enumerate(lens)
+    ]
+    buckets = (8, 64, 512)
+    stream = list(batch_bags(slides, 2, buckets, shuffle=True, seed=1))
+    stacks = list(stack_batches(iter(stream), 3))
+
+    # shapes: leading axis <= 3, one bucket per stack
+    assert all(s["feats"].ndim == 4 for s in stacks)
+    sizes = [s["feats"].shape[0] for s in stacks]
+    assert set(sizes) <= {1, 2, 3}
+    n_batches = {8: 7, 64: 5, 512: 3}  # ceil(count/batch_size) per bucket
+    # per bucket: count//3 full stacks + at most one remainder
+    by_bucket = {}
+    for s in stacks:
+        by_bucket.setdefault(s["feats"].shape[2], []).append(s["feats"].shape[0])
+    for bucket, szs in by_bucket.items():
+        nb = n_batches[bucket]
+        assert sorted(szs, reverse=True) == [3] * (nb // 3) + (
+            [nb % 3] if nb % 3 else []
+        )
+
+    # content: flattening the stacks in within-stack order recovers every
+    # stream batch exactly once, and per-bucket relative order is preserved
+    flat = [
+        tuple(sorted(s["target"][j][s["bag_valid"][j]]))
+        for s in stacks
+        for j in range(s["target"].shape[0])
+    ]
+    orig = [tuple(sorted(b["target"][b["bag_valid"]])) for b in stream]
+    assert sorted(flat) == sorted(orig)
+    for bucket in buckets:
+        in_stream = [
+            tuple(sorted(b["target"][b["bag_valid"]]))
+            for b in stream
+            if b["mask"].shape[1] == bucket
+        ]
+        in_stacks = [
+            tuple(sorted(s["target"][j][s["bag_valid"][j]]))
+            for s in stacks
+            if s["feats"].shape[2] == bucket
+            for j in range(s["target"].shape[0])
+        ]
+        assert in_stacks == in_stream, bucket

@@ -602,3 +602,45 @@ def test_wandb_watch_grad_norm_meters():
     watched = [k for k in h0 if k.startswith("grad_norm/")]
     assert any("online_encoder" in k for k in watched), sorted(h0)
     assert all(np.isfinite(h0[k]) for k in watched)
+
+
+def test_driver_steps_per_call_equivalence():
+    """--steps_per_call trains through make_mhim_multi_step (lax.scan over
+    stacked batches); with one bucket the stream order is unchanged, so the
+    run must reproduce steps_per_call=1 exactly — same per-epoch losses and
+    val metrics (the dispatch-amortization knob must not touch dynamics)."""
+    kw = dict(
+        model="mhim",
+        baseline="attn",
+        datasets="synth",
+        input_dim=48,
+        inner_dim=64,
+        synth_n_slides=16,
+        synth_bag_size=96,
+        bucket_sizes=(96,),
+        batch_size=4,
+        cv_fold=1,
+        num_epoch=2,
+        max_epoch=2,
+        lr=1e-3,
+        lr_sche="const",
+        mask_ratio=0.3,
+        mask_ratio_h=0.05,
+        merge_enable=True,
+        merge_ratio=0.5,
+        aux_alpha=0.5,
+        num_bootstrap=10,
+        output_path="",
+    )
+    res1 = run_experiment(load_config([], **kw))
+    res2 = run_experiment(load_config([], steps_per_call=3, **kw))
+    h1 = res1["folds"][0]["history"]
+    h2 = res2["folds"][0]["history"]
+    assert len(h1) == len(h2)
+    for e1, e2 in zip(h1, h2):
+        np.testing.assert_allclose(
+            e1["train_loss"], e2["train_loss"], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            e1["val"]["auc"], e2["val"]["auc"], rtol=1e-6, atol=1e-7
+        )

@@ -251,3 +251,108 @@ def test_mhim_eval_mode_merge_keeps_all_tokens():
     )
     want = np.asarray(jnp.sum(b["mask"], -1) + cfg.merge_k)
     np.testing.assert_array_equal(np.asarray(out["keep_num"]), want)
+
+
+def test_mhim_multi_step_equals_single_steps():
+    """make_mhim_multi_step (lax.scan over a stacked batch) must reproduce
+    k successive single-step calls EXACTLY — same RNG threading, same EMA/mm
+    schedule positions, same op order (the scan body IS the single step's
+    body). One returned callable must also serve a smaller end-of-epoch
+    remainder stack."""
+    from mhim_mil_tpu.models.mhim import make_mhim_multi_step
+
+    cfg, model, family, state, batches = _setup("mhim", "attn")
+    single = make_mhim_train_step(cfg, model, len(batches))
+    multi = make_mhim_multi_step(cfg, model, len(batches))
+
+    s1 = state
+    losses = []
+    for b in batches[:3]:
+        s1, m = single(s1, b)
+        losses.append(float(m["loss"]))
+
+    stacked = {k: jnp.stack([b[k] for b in batches[:3]]) for k in batches[0]}
+    s2, ms = multi(state, stacked)
+
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"], np.float32), np.array(losses, np.float32),
+        rtol=1e-5, atol=1e-6,
+    )
+    for l1, l2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+    for l1, l2 in zip(
+        jax.tree.leaves(s1.teacher_params), jax.tree.leaves(s2.teacher_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+    assert int(s2.step) == 3
+
+    # remainder stack (k=2) through the SAME callable
+    rem = {k: jnp.stack([b[k] for b in batches[:2]]) for k in batches[0]}
+    s3, ms2 = multi(state, rem)
+    assert int(s3.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(ms2["loss"], np.float32)[:2],
+        np.array(losses[:2], np.float32), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_generic_multi_step_equals_single_steps():
+    """The zoo counterpart (engine/steps.py make_multi_step) — same exact
+    equality contract, on a model with generic EMA enabled so the EMA branch
+    is covered too."""
+    from mhim_mil_tpu.engine.steps import make_train_step, make_multi_step
+    from mhim_mil_tpu.engine.train_state import create_train_state
+
+    cfg = load_config(
+        [],
+        model="abmil",
+        input_dim=64,
+        inner_dim=128,
+        batch_size=2,
+        num_epoch=3,
+        lr=1e-3,
+        lr_sche="const",
+        model_ema=True,
+    )
+    slides = make_synthetic_dataset(
+        n_slides=8, bag_size=128, feat_dim=64, signal=2.5, seed=0
+    )
+    batches = [
+        {k: jnp.asarray(v) for k, v in b.items()}
+        for b in batch_bags(slides, cfg.batch_size, (128,), drop_last=True)
+    ]
+    model, family = build_model(cfg)
+    from mhim_mil_tpu.utils.schedules import make_lr_schedule as mk_lr
+
+    lr = mk_lr(cfg, len(batches))
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batches[0], lr, with_teacher=True
+    )
+    single = make_train_step(cfg, model, family, len(batches))
+    multi = make_multi_step(cfg, model, family, len(batches))
+
+    s1 = state
+    losses = []
+    for b in batches[:3]:
+        s1, m = single(s1, b)
+        losses.append(float(m["loss"]))
+    stacked = {k: jnp.stack([b[k] for b in batches[:3]]) for k in batches[0]}
+    s2, ms = multi(state, stacked)
+    np.testing.assert_allclose(
+        np.asarray(ms["loss"], np.float32), np.array(losses, np.float32),
+        rtol=1e-5, atol=1e-6,
+    )
+    for l1, l2 in zip(
+        jax.tree.leaves((s1.params, s1.teacher_params)),
+        jax.tree.leaves((s2.params, s2.teacher_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )

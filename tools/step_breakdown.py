@@ -205,7 +205,13 @@ def breakdown(cfg, model, state, step, batch, include_full_step=True):
         },
         "method": "in-step variant A/Bs, one process, interleaved chained "
         "windows (round-4 VERDICT next #1a); the separate-program timings "
-        "this replaces were floored at ~4.7 ms/call by per-call dispatch",
+        "this replaces were floored at ~4.7 ms/call by per-call dispatch. "
+        "Derived components are DIFFERENCES of full-step variants, so a "
+        "component can read <=0 when its work overlaps the per-call "
+        "dispatch floor (the floor serializes fully only in the null "
+        "program; in programs with real device work part of it hides under "
+        "execution) — a <=0 reading means 'fully hidden', not 'negative "
+        "cost'. variant_ms holds the raw, assumption-free measurements.",
     }
     if include_full_step:
         res["full_step_ms_standalone"] = res["full_step_ms"]
