@@ -30,10 +30,14 @@ Supported subset (honestly documented, tested):
     ``associated_images``); ``ImageDescription`` metadata (AppMag, MPP)
     lands in ``properties`` under the openslide key names.
 
+Hamamatsu NDPI (single-file, TIFF-with-quirks) is read by the sibling
+module :mod:`mhim_mil_tpu.preprocess.ndpi`; ``open_slide`` routes to it by
+extension or by the NDPI marker tag inside a ``.tif``.
+
 Out of scope: planar configuration 2, palette images. Files outside the
 subset raise ``UnsupportedTiffError`` so callers can fall back to plain
 raster loading — EXCEPT recognized vendor WSI formats (Hamamatsu
-NDPI/VMS/VMU, MIRAX, Philips TIFF/iSyntax, Leica SCN, Ventana BIF,
+multi-file VMS/VMU, MIRAX, Philips TIFF/iSyntax, Leica SCN, Ventana BIF,
 DMetrix), which raise ``UnsupportedVendorFormatError`` naming the format
 and the conversion path (vips/OpenSlide re-tiling to pyramidal TIFF), so
 a sweep over a mixed archive fails actionably instead of with a generic
@@ -69,7 +73,6 @@ class UnsupportedVendorFormatError(UnsupportedTiffError):
 # Vendor formats recognized by extension: name + how to get them into the
 # supported subset (any OpenSlide/vips host can do the conversion offline).
 _VENDOR_EXTS = {
-    ".ndpi": "Hamamatsu NDPI",
     ".vms": "Hamamatsu VMS",
     ".vmu": "Hamamatsu VMU",
     ".mrxs": "MIRAX",
@@ -146,6 +149,9 @@ def _read_ifd(f, off: int, bo: str, big: bool = False) -> Tuple[Dict[int, tuple]
         elif typ == 5:  # rational
             parts = struct.unpack(bo + "II" * cnt, raw)
             vals = tuple(a / max(b, 1) for a, b in zip(parts[::2], parts[1::2]))
+        elif typ == 10:  # signed rational (NDPI SourceLens on some scanners)
+            parts = struct.unpack(bo + "ii" * cnt, raw)
+            vals = tuple(a / (b if b else 1) for a, b in zip(parts[::2], parts[1::2]))
         else:
             vals = (raw,)
         tags[tag] = vals
@@ -297,17 +303,24 @@ def _tag_text(tags: Dict[int, tuple], tag_id: int) -> str:
     return str(v)
 
 
+class _NdpiContent(Exception):
+    """Internal routing signal: a .tif-named file is NDPI inside —
+    ``open_slide`` re-opens it through :class:`~.ndpi.NdpiSlide` instead of
+    the generic pyramid parser (never surfaced to callers)."""
+
+
 def _detect_vendor_tiff(raw_pages: List[Dict[int, tuple]]) -> None:
-    """Raise a named error for TIFF-contained vendor formats we recognize
-    but do not decode (Hamamatsu NDPI, Philips TIFF, Leica SCN)."""
+    """Route NDPI content to the dedicated reader, and raise a named error
+    for TIFF-contained vendor formats we recognize but do not decode
+    (Philips TIFF, Leica SCN)."""
     first = raw_pages[0]
     if any(_NDPI_PRIVATE in tags for tags in raw_pages):
-        raise _vendor_error("Hamamatsu NDPI")
+        raise _NdpiContent
     make = _tag_text(first, _MAKE).lower()
     soft = _tag_text(first, _SOFTWARE).lower()
     desc = _tag_text(first, _DESC)
     if "hamamatsu" in make and not any(_TILE_OFF in t for t in raw_pages):
-        raise _vendor_error("Hamamatsu NDPI")
+        raise _NdpiContent
     if "philips" in soft or (
         desc.lstrip().startswith("<?xml") and "philips" in desc.lower()
     ):
@@ -674,19 +687,29 @@ class RasterSlide:
 
 
 def open_slide(path: str):
-    """Open ``path`` as a pyramidal TIFF when possible, else as a flat
-    raster image (the reference calls openslide.open_slide unconditionally,
-    WholeSlideImage.py:32). Recognized vendor formats outside the supported
-    subset (NDPI/MIRAX/Philips/Leica/...) raise
+    """Open ``path`` as a pyramidal TIFF / Aperio .svs / Hamamatsu .ndpi
+    when possible, else as a flat raster image (the reference calls
+    openslide.open_slide unconditionally, WholeSlideImage.py:32).
+    NDPI routes to :class:`~mhim_mil_tpu.preprocess.ndpi.NdpiSlide` whether
+    named ``.ndpi`` or detected inside a ``.tif``. Recognized vendor formats
+    outside the supported subset (MIRAX/Philips/Leica/...) raise
     :class:`UnsupportedVendorFormatError` with a conversion recipe instead
     of a generic parse error or a silent raster fallback."""
     lower = path.lower()
     for ext, name in _VENDOR_EXTS.items():
         if lower.endswith(ext):
             raise _vendor_error(name)
+    if lower.endswith(".ndpi"):
+        from .ndpi import NdpiSlide
+
+        return NdpiSlide(path)
     if lower.endswith((".tif", ".tiff", ".svs")):
         try:
             return PyramidalTiff(path)
+        except _NdpiContent:
+            from .ndpi import NdpiSlide
+
+            return NdpiSlide(path)
         except UnsupportedVendorFormatError:
             raise
         except UnsupportedTiffError:

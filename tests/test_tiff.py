@@ -382,6 +382,7 @@ def test_vendor_format_named_errors(tmp_path):
         _detect_vendor_tiff,
         _DESC,
         _MAKE,
+        _NdpiContent,
         _NDPI_PRIVATE,
         _SOFTWARE,
         _W,
@@ -391,8 +392,9 @@ def test_vendor_format_named_errors(tmp_path):
     )
 
     # extension routing: each known vendor extension names its format
+    # (.ndpi is no longer here — it has a real reader, test_ndpi_* below)
     for ext, name in (
-        (".ndpi", "NDPI"), (".mrxs", "MIRAX"), (".isyntax", "Philips"),
+        (".vms", "VMS"), (".mrxs", "MIRAX"), (".isyntax", "Philips"),
         (".scn", "Leica"), (".bif", "Ventana"),
     ):
         p = tmp_path / ("slide" + ext)
@@ -401,9 +403,10 @@ def test_vendor_format_named_errors(tmp_path):
             open_slide(str(p))
         assert name in str(ei.value) and "pyramid" in str(ei.value)
 
-    # content routing on raw IFD tags (a vendor file misnamed .tif)
+    # content routing on raw IFD tags (a vendor file misnamed .tif):
+    # NDPI content routes to the NDPI reader; Philips/Leica stay named errors
     base = {_W: (64,), _H: (64,)}
-    with pytest.raises(UnsupportedVendorFormatError, match="NDPI"):
+    with pytest.raises(_NdpiContent):
         _detect_vendor_tiff([{**base, _NDPI_PRIVATE: (1,)}])
     with pytest.raises(UnsupportedVendorFormatError, match="Philips"):
         _detect_vendor_tiff([{**base, _SOFTWARE: (b"Philips DP v1.0",)}])
@@ -417,3 +420,162 @@ def test_vendor_format_named_errors(tmp_path):
     s = open_slide(str(ok))
     assert s.level_dimensions[0] == (96, 64)
     s.close()
+
+
+# ---- Hamamatsu NDPI (preprocess/ndpi.py) -------------------------------------
+
+
+def _ndpi_ref_decode(img, restart_rows=1, quality=90):
+    """What a whole-page decode of the fixture's JPEG yields (the codec
+    round-trip the reader's output is compared against exactly)."""
+    import io
+
+    b = io.BytesIO()
+    kw = {"quality": quality}
+    if restart_rows:
+        kw["restart_marker_rows"] = restart_rows
+    Image.fromarray(img).save(b, "JPEG", **kw)
+    return np.asarray(Image.open(io.BytesIO(b.getvalue())).convert("RGB"))
+
+
+@pytest.mark.parametrize("restart_rows", [1, 2])
+def test_ndpi_band_decode_roundtrip(tmp_path, restart_rows):
+    """NDPI layout (whole-page JPEG strips, SourceLens pages, NDPI marker
+    tag): opens through open_slide, pyramid levels by SourceLens, macro as
+    an associated image, MPP from pixels/cm resolution — and read_region
+    decodes only the restart-aligned MCU-row BAND it touches, pixel-equal
+    to a whole-page decode (OpenSlide hamamatsu-driver semantics; the
+    reference reaches NDPI via CLAM/wsi_core/WholeSlideImage.py:22-90)."""
+    from mhim_mil_tpu.preprocess.ndpi import NdpiSlide, write_ndpi
+
+    img = _smooth_img(320, 480)
+    path = str(tmp_path / "fix.ndpi")
+    write_ndpi(path, img, levels=3, mpp=0.5, lens=40.0,
+               restart_rows=restart_rows)
+    s = open_slide(path)
+    assert isinstance(s, NdpiSlide)
+    assert s.level_count == 3
+    assert s.dimensions == (480, 320)
+    assert s.level_dimensions[1] == (240, 160)
+    np.testing.assert_allclose(s.level_downsamples, [1.0, 2.0, 4.0])
+    assert s.properties["openslide.vendor"] == "hamamatsu"
+    assert s.properties["openslide.objective-power"] == "40"
+    assert float(s.properties["openslide.mpp-x"]) == pytest.approx(0.5)
+    assert set(s.associated_images) == {"macro"}
+
+    ref = _ndpi_ref_decode(img, restart_rows)
+    # interior region crossing several restart bands: equals whole decode
+    r = s.read_region((37, 53), 0, (100, 150))
+    np.testing.assert_array_equal(r, ref[53:203, 37:137])
+    # the band path was used (no whole-page decode cached), with the
+    # expected MCU-row granularity (2x2 subsampled JPEG -> 16 px MCU rows)
+    info = s._index(s._levels[0])
+    assert info.rows_per_unit == restart_rows and info.mcu_h == 16
+    assert not s._pages_whole
+    # out-of-bounds zero-fill
+    r2 = s.read_region((470, 310), 0, (50, 50))
+    assert np.array_equal(r2[:10, :10], ref[310:, 470:]) and r2[10:, 10:].max() == 0
+    # level-1 read with level-0 location
+    r1 = s.read_region((100, 100), 1, (60, 40))
+    assert r1.shape == (40, 60, 3)
+    th = s.get_thumbnail(64)
+    assert max(th.shape[:2]) <= 64
+    s.close()
+
+
+def test_ndpi_band_splicer_sub_row_restarts():
+    """Restart intervals SMALLER than one MCU row (several segments per
+    row) are also band-decodable: the splicer must renumber RSTn across
+    the joined segments. Validated against PIL's own full decode."""
+    import io
+
+    from mhim_mil_tpu.preprocess.ndpi import _JpegIndex
+
+    img = _smooth_img(160, 480)  # 30 MCUs/row at 2x2 sampling
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "JPEG", quality=90, restart_marker_blocks=15)
+    data = b.getvalue()
+    info = _JpegIndex(data)
+    assert info.rows_per_unit == 1 and info.segs_per_unit == 2
+    full = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    band, y0 = info.band_jpeg(data, 3, 7)
+    arr = np.asarray(Image.open(io.BytesIO(band)).convert("RGB"))
+    assert y0 == 48
+    np.testing.assert_array_equal(arr, full[48:112])
+
+
+def test_ndpi_monolithic_fallback_and_guard(tmp_path, monkeypatch):
+    """Pages without restart markers fall back to a cached whole-page
+    decode; above the memory guard that fallback raises the NAMED vendor
+    error with the conversion recipe instead of eating gigabytes."""
+    from mhim_mil_tpu.preprocess import ndpi as ndpi_mod
+    from mhim_mil_tpu.preprocess.tiff import UnsupportedVendorFormatError
+
+    img = _smooth_img(160, 240)
+    path = str(tmp_path / "mono.ndpi")
+    ndpi_mod.write_ndpi(path, img, levels=1, restart_rows=0, macro=False)
+    s = open_slide(path)
+    info = s._index(s._levels[0])
+    assert info.rows_per_unit == 0  # no band decode possible
+    ref = _ndpi_ref_decode(img, restart_rows=0)
+    np.testing.assert_array_equal(s.read_region((10, 20), 0, (64, 64)),
+                                  ref[20:84, 10:74])
+    assert 0 in s._pages_whole  # whole-page path, cached
+    s.close()
+
+    monkeypatch.setattr(ndpi_mod, "_WHOLE_PAGE_MAX_PIXELS", 1000)
+    s2 = open_slide(path)
+    with pytest.raises(UnsupportedVendorFormatError, match="restart"):
+        s2.read_region((0, 0), 0, (32, 32))
+    s2.close()
+
+
+def test_ndpi_tif_named_content_routes(tmp_path):
+    """An NDPI misnamed .tif is detected by its marker tag and routed to
+    the NDPI reader — not a generic parse error, not a raster fallback."""
+    from mhim_mil_tpu.preprocess.ndpi import NdpiSlide, write_ndpi
+
+    img = _smooth_img(96, 128)
+    path = str(tmp_path / "hidden.tif")
+    write_ndpi(path, img, levels=2)
+    s = open_slide(path)
+    assert isinstance(s, NdpiSlide) and s.level_count == 2
+    s.close()
+
+
+def test_ndpi_to_training(tmp_path):
+    """Full .ndpi → patches → features pipeline through the extract CLI
+    (reference: create_patches_fp + extract_features_fp over an OpenSlide
+    hamamatsu handle)."""
+    from mhim_mil_tpu.preprocess.ndpi import write_ndpi
+
+    rng = np.random.default_rng(7)
+    img = np.full((256, 384, 3), 245, np.uint8)  # background
+    img[64:192, 128:320] = rng.integers(30, 180, (128, 192, 3)).astype(np.uint8)
+    slide_dir = tmp_path / "slides"
+    slide_dir.mkdir()
+    write_ndpi(str(slide_dir / "case_ndpi_0.ndpi"), img, levels=2)
+
+    import subprocess
+    import sys
+
+    store = tmp_path / "store"
+    r = subprocess.run(
+        [sys.executable, "tools/extract_features.py",
+         "--source", str(slide_dir), "--save_dir", str(store),
+         "--patch_size", "32", "--step_size", "32", "--batch_size", "8"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import torch
+
+    feats = torch.load(
+        store / "pt_files" / "case_ndpi_0.pt", map_location="cpu",
+        weights_only=True,
+    )
+    assert feats.ndim == 2 and feats.shape[0] > 0
+    import h5py
+
+    with h5py.File(store / "h5_files" / "case_ndpi_0.h5", "r") as f:
+        assert "coords" in f and len(f["coords"]) == feats.shape[0]
