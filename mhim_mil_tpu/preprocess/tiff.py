@@ -30,14 +30,16 @@ Supported subset (honestly documented, tested):
     ``associated_images``); ``ImageDescription`` metadata (AppMag, MPP)
     lands in ``properties`` under the openslide key names.
 
-Hamamatsu NDPI (single-file, TIFF-with-quirks) is read by the sibling
-module :mod:`mhim_mil_tpu.preprocess.ndpi`; ``open_slide`` routes to it by
-extension or by the NDPI marker tag inside a ``.tif``.
+TIFF-contained vendor layouts are read by sibling modules and routed by
+``open_slide`` (by extension or by content signature inside a ``.tif``):
+Hamamatsu NDPI by :mod:`mhim_mil_tpu.preprocess.ndpi`; Philips TIFF and
+Leica SCN by :mod:`mhim_mil_tpu.preprocess.vendor_tiff` (both reuse this
+module's page/tile machinery via ``PyramidalTiff._build_layout``).
 
 Out of scope: planar configuration 2, palette images. Files outside the
 subset raise ``UnsupportedTiffError`` so callers can fall back to plain
-raster loading — EXCEPT recognized vendor WSI formats (Hamamatsu
-multi-file VMS/VMU, MIRAX, Philips TIFF/iSyntax, Leica SCN, Ventana BIF,
+raster loading — EXCEPT recognized vendor WSI formats we do NOT decode
+(Hamamatsu multi-file VMS/VMU, MIRAX, Philips iSyntax, Ventana BIF,
 DMetrix), which raise ``UnsupportedVendorFormatError`` naming the format
 and the conversion path (vips/OpenSlide re-tiling to pyramidal TIFF), so
 a sweep over a mixed archive fails actionably instead of with a generic
@@ -77,7 +79,6 @@ _VENDOR_EXTS = {
     ".vmu": "Hamamatsu VMU",
     ".mrxs": "MIRAX",
     ".isyntax": "Philips iSyntax",
-    ".scn": "Leica SCN",
     ".bif": "Ventana BIF",
     ".svslide": "DMetrix",
 }
@@ -309,10 +310,20 @@ class _NdpiContent(Exception):
     the generic pyramid parser (never surfaced to callers)."""
 
 
+class _PhilipsContent(Exception):
+    """Routing signal: Philips TIFF layout — handled by
+    :class:`~mhim_mil_tpu.preprocess.vendor_tiff.PhilipsTiff`."""
+
+
+class _ScnContent(Exception):
+    """Routing signal: Leica SCN layout — handled by
+    :class:`~mhim_mil_tpu.preprocess.vendor_tiff.LeicaScn`."""
+
+
 def _detect_vendor_tiff(raw_pages: List[Dict[int, tuple]]) -> None:
-    """Route NDPI content to the dedicated reader, and raise a named error
-    for TIFF-contained vendor formats we recognize but do not decode
-    (Philips TIFF, Leica SCN)."""
+    """Route TIFF-contained vendor layouts to their dedicated readers
+    (NDPI / Philips TIFF / Leica SCN — routing signals caught by
+    ``open_slide``, never surfaced to callers)."""
     first = raw_pages[0]
     if any(_NDPI_PRIVATE in tags for tags in raw_pages):
         raise _NdpiContent
@@ -321,19 +332,25 @@ def _detect_vendor_tiff(raw_pages: List[Dict[int, tuple]]) -> None:
     desc = _tag_text(first, _DESC)
     if "hamamatsu" in make and not any(_TILE_OFF in t for t in raw_pages):
         raise _NdpiContent
-    if "philips" in soft or (
-        desc.lstrip().startswith("<?xml") and "philips" in desc.lower()
+    if (
+        "philips" in soft
+        or 'ObjectType="DPUfsImport"' in desc
+        or (desc.lstrip().startswith("<?xml") and "philips" in desc.lower())
     ):
-        raise _vendor_error("Philips TIFF")
-    if desc.lstrip().startswith("<scn") or (
+        raise _PhilipsContent
+    if "<scn" in desc[:256] or (
         "leica" in make and desc.lstrip().startswith("<")
     ):
-        raise _vendor_error("Leica SCN")
+        raise _ScnContent
 
 
 class _Page:
     def __init__(self, tags: Dict[int, tuple]):
         self.tags = tags
+        # Philips TIFF leaves background tiles out of the file (offset and
+        # byte count 0); the vendor layout sets this to the fill value
+        # (255 = white, what OpenSlide's philips driver renders them as).
+        self.sparse_fill: int | None = None
         self.width = tags[_W][0]
         self.height = tags[_H][0]
         self.comp = tags.get(_COMP, (1,))[0]
@@ -391,7 +408,9 @@ class PyramidalTiff:
     def __init__(self, path: str, tile_cache: int = 256):
         self._f = open(path, "rb")
         try:
-            self._parse(tile_cache)
+            raw = self._read_ifd_chain()
+            self._build_layout(raw)
+            self._finalize(tile_cache)
         except Exception:
             # open_slide swallows UnsupportedTiffError to fall back to
             # RasterSlide — without this, every unsupported TIFF in a sweep
@@ -399,7 +418,10 @@ class PyramidalTiff:
             self._f.close()
             raise
 
-    def _parse(self, tile_cache: int) -> None:
+    def _read_ifd_chain(self) -> List[Dict[int, tuple]]:
+        """Header + IFD walk: the raw tag dicts of every image page, in
+        chain order (vendor layouts key on chain position, e.g. Leica SCN's
+        ``dimension ifd=`` indices)."""
         head = self._f.read(4)
         if head[:2] == b"II":
             bo = "<"
@@ -426,8 +448,14 @@ class PyramidalTiff:
                 raw.append(tags)
         if not raw:
             raise UnsupportedTiffError("no image pages")
+        return raw
+
+    def _build_layout(self, raw: List[Dict[int, tuple]]) -> None:
+        """Generic + Aperio layout: sets ``_pages`` (pyramid, width-sorted),
+        ``properties`` and ``_assoc_pages``. Vendor subclasses
+        (:mod:`~mhim_mil_tpu.preprocess.vendor_tiff`) override this."""
         # Recognize TIFF-contained vendor formats BEFORE page construction,
-        # so e.g. an NDPI fails with its name, not a generic parse error
+        # so e.g. an NDPI routes to its reader, not a generic parse error
         # (round-4 VERDICT missing #3; the reference reads these through
         # OpenSlide's vendor drivers, CLAM/wsi_core/WholeSlideImage.py:22-90).
         _detect_vendor_tiff(raw)
@@ -464,6 +492,9 @@ class PyramidalTiff:
 
         pages.sort(key=lambda p: -p.width)
         self._pages = pages
+
+    def _finalize(self, tile_cache: int) -> None:
+        pages = self._pages
         self.level_count = len(pages)
         self.level_dimensions = [(p.width, p.height) for p in pages]
         self.dimensions = self.level_dimensions[0]
@@ -565,6 +596,13 @@ class PyramidalTiff:
 
 
 def _decode_tile(f, p: _Page, idx: int) -> np.ndarray:
+    if p.offsets[idx] == 0 or p.counts[idx] == 0:
+        # Tile data absent from the file. Philips TIFF does this for
+        # background tiles (rendered as the fill color, like OpenSlide's
+        # philips driver); anywhere else it is a malformed file.
+        if p.sparse_fill is None:
+            raise UnsupportedTiffError(f"tile {idx} has no data in the file")
+        return np.full((p.th, p.tw, 3), p.sparse_fill, np.uint8)
     f.seek(p.offsets[idx])
     data = f.read(p.counts[idx])
     if p.comp == 7:
@@ -687,12 +725,14 @@ class RasterSlide:
 
 
 def open_slide(path: str):
-    """Open ``path`` as a pyramidal TIFF / Aperio .svs / Hamamatsu .ndpi
-    when possible, else as a flat raster image (the reference calls
-    openslide.open_slide unconditionally, WholeSlideImage.py:32).
-    NDPI routes to :class:`~mhim_mil_tpu.preprocess.ndpi.NdpiSlide` whether
-    named ``.ndpi`` or detected inside a ``.tif``. Recognized vendor formats
-    outside the supported subset (MIRAX/Philips/Leica/...) raise
+    """Open ``path`` as a pyramidal TIFF / Aperio .svs / Hamamatsu .ndpi /
+    Philips TIFF / Leica .scn when possible, else as a flat raster image
+    (the reference calls openslide.open_slide unconditionally,
+    WholeSlideImage.py:32). Vendor layouts route by extension or by
+    content signature inside a ``.tif``: NDPI to
+    :class:`~mhim_mil_tpu.preprocess.ndpi.NdpiSlide`, Philips/SCN to
+    :mod:`~mhim_mil_tpu.preprocess.vendor_tiff`. Recognized vendor formats
+    outside the supported subset (MIRAX/iSyntax/VMS/...) raise
     :class:`UnsupportedVendorFormatError` with a conversion recipe instead
     of a generic parse error or a silent raster fallback."""
     lower = path.lower()
@@ -703,6 +743,10 @@ def open_slide(path: str):
         from .ndpi import NdpiSlide
 
         return NdpiSlide(path)
+    if lower.endswith(".scn"):
+        from .vendor_tiff import LeicaScn
+
+        return LeicaScn(path)
     if lower.endswith((".tif", ".tiff", ".svs")):
         try:
             return PyramidalTiff(path)
@@ -710,6 +754,14 @@ def open_slide(path: str):
             from .ndpi import NdpiSlide
 
             return NdpiSlide(path)
+        except _PhilipsContent:
+            from .vendor_tiff import PhilipsTiff
+
+            return PhilipsTiff(path)
+        except _ScnContent:
+            from .vendor_tiff import LeicaScn
+
+            return LeicaScn(path)
         except UnsupportedVendorFormatError:
             raise
         except UnsupportedTiffError:

@@ -391,11 +391,14 @@ def test_vendor_format_named_errors(tmp_path):
         write_pyramidal_tiff,
     )
 
+    from mhim_mil_tpu.preprocess.tiff import _PhilipsContent, _ScnContent
+
     # extension routing: each known vendor extension names its format
-    # (.ndpi is no longer here — it has a real reader, test_ndpi_* below)
+    # (.ndpi and .scn are no longer here — they have real readers,
+    # test_ndpi_* / test_scn_* below)
     for ext, name in (
         (".vms", "VMS"), (".mrxs", "MIRAX"), (".isyntax", "Philips"),
-        (".scn", "Leica"), (".bif", "Ventana"),
+        (".bif", "Ventana"),
     ):
         p = tmp_path / ("slide" + ext)
         p.write_bytes(b"\x00" * 64)
@@ -404,13 +407,13 @@ def test_vendor_format_named_errors(tmp_path):
         assert name in str(ei.value) and "pyramid" in str(ei.value)
 
     # content routing on raw IFD tags (a vendor file misnamed .tif):
-    # NDPI content routes to the NDPI reader; Philips/Leica stay named errors
+    # NDPI/Philips/Leica content routes to the dedicated readers
     base = {_W: (64,), _H: (64,)}
     with pytest.raises(_NdpiContent):
         _detect_vendor_tiff([{**base, _NDPI_PRIVATE: (1,)}])
-    with pytest.raises(UnsupportedVendorFormatError, match="Philips"):
+    with pytest.raises(_PhilipsContent):
         _detect_vendor_tiff([{**base, _SOFTWARE: (b"Philips DP v1.0",)}])
-    with pytest.raises(UnsupportedVendorFormatError, match="Leica"):
+    with pytest.raises(_ScnContent):
         _detect_vendor_tiff([{**base, _DESC: (b'<scn xmlns="http://www.leica...">',)}])
 
     # a plain supported TIFF still opens fine through the same gate
@@ -579,3 +582,128 @@ def test_ndpi_to_training(tmp_path):
 
     with h5py.File(store / "h5_files" / "case_ndpi_0.h5", "r") as f:
         assert "coords" in f and len(f["coords"]) == feats.shape[0]
+
+
+# ---- Philips TIFF / Leica SCN (preprocess/vendor_tiff.py) --------------------
+
+
+def test_philips_tiff_layout(tmp_path):
+    """Philips TIFF layout (DPUfsImport XML, tiled pyramid, striped
+    Label/Macro pages, ABSENT background tiles): opens through open_slide
+    by content signature, sparse tiles render white, DICOM_PIXEL_SPACING
+    (mm) lands in openslide.mpp-* (um) — OpenSlide philips-driver
+    semantics; the reference reaches Philips slides via
+    CLAM/wsi_core/WholeSlideImage.py:22-90."""
+    from mhim_mil_tpu.preprocess.vendor_tiff import PhilipsTiff, write_philips_tiff
+
+    img = _smooth_img(256, 384)
+    path = str(tmp_path / "philips.tiff")
+    sparse = {(0, 0), (1, 2)}
+    write_philips_tiff(path, img, levels=2, tile=128, mpp=0.25, sparse=sparse)
+    s = open_slide(path)
+    assert isinstance(s, PhilipsTiff)
+    assert s.level_count == 2 and s.dimensions == (384, 256)
+    assert s.properties["openslide.vendor"] == "philips"
+    assert float(s.properties["openslide.mpp-x"]) == pytest.approx(0.25, rel=1e-4)
+    assert s.properties["philips.DICOM_MANUFACTURER"] == "PHILIPS"
+    assert set(s._assoc_pages) == {"label", "macro"}
+    assert s.associated_images["label"].ndim == 3
+
+    # a present tile reads its content (jpeg-lossy tolerance, as the svs test)
+    r = s.read_region((140, 10), 0, (100, 100))
+    assert np.abs(r.astype(int) - img[10:110, 140:240].astype(int)).mean() < 3
+    # ABSENT tiles render as white, and a region spanning present+absent
+    # mixes correctly at the tile boundary
+    assert (s.read_region((0, 0), 0, (64, 64)) == 255).all()
+    mix = s.read_region((200, 130), 0, (100, 60))  # tiles (1,1) + sparse (1,2)
+    assert (mix[:, 56:] == 255).all()  # x >= 256 -> sparse tile (1, 2)
+    assert np.abs(
+        mix[:, :56].astype(int) - img[130:190, 200:256].astype(int)
+    ).mean() < 3
+    # level 1 has no sparse tiles: full fidelity vs the box downsample
+    r1 = s.read_region((0, 0), 1, (64, 64))
+    box = img[:128, :128].reshape(64, 2, 64, 2, 3).mean((1, 3)).astype(np.uint8)
+    assert np.abs(r1.astype(int) - box.astype(int)).mean() < 4
+    s.close()
+
+
+def test_scn_layout(tmp_path):
+    """Leica SCN layout (<scn> XML on the first page mapping ifd indices
+    to images; the whole-collection-view image is the macro, the region
+    image is the pyramid; mpp from view-nm / pixels): opens by .scn
+    extension AND by content signature inside a .tif; multi-region slides
+    raise the NAMED vendor error (OpenSlide leica-driver semantics;
+    reference reaches .scn via CLAM/wsi_core/WholeSlideImage.py:22-90)."""
+    from mhim_mil_tpu.preprocess.tiff import UnsupportedVendorFormatError
+    from mhim_mil_tpu.preprocess.vendor_tiff import LeicaScn, write_leica_scn
+
+    img = _smooth_img(260, 420)
+    path = str(tmp_path / "slide.scn")
+    write_leica_scn(path, img, levels=2, tile=128, mpp=0.5, objective=40)
+    s = open_slide(path)
+    assert isinstance(s, LeicaScn)
+    # the macro page (ifd 0) must NOT be a pyramid level
+    assert s.level_count == 2 and s.dimensions == (420, 260)
+    assert s.level_dimensions[1] == (210, 130)
+    assert s.properties["openslide.vendor"] == "leica"
+    assert s.properties["openslide.objective-power"] == "40"
+    assert float(s.properties["openslide.mpp-x"]) == pytest.approx(0.5, rel=1e-3)
+    assert s.properties["leica.device-model"] == "Leica SCN400"
+    assert set(s._assoc_pages) == {"macro"}
+    assert s.associated_images["macro"].ndim == 3
+
+    r = s.read_region((30, 40), 0, (120, 90))
+    assert np.abs(r.astype(int) - img[40:130, 30:150].astype(int)).mean() < 3
+    r1 = s.read_region((0, 0), 1, (64, 64))
+    box = img[:128, :128].reshape(64, 2, 64, 2, 3).mean((1, 3)).astype(np.uint8)
+    assert np.abs(r1.astype(int) - box.astype(int)).mean() < 4
+    s.close()
+
+    # content routing: the same layout misnamed .tif still opens as SCN
+    path2 = str(tmp_path / "hidden_scn.tif")
+    write_leica_scn(path2, img, levels=1, tile=128)
+    s2 = open_slide(path2)
+    assert isinstance(s2, LeicaScn) and s2.level_count == 1
+    s2.close()
+
+    # multi-region: named error with the conversion recipe, not a bad read
+    path3 = str(tmp_path / "tworegions.scn")
+    write_leica_scn(path3, img, levels=1, tile=128, regions=2)
+    with pytest.raises(UnsupportedVendorFormatError, match="region"):
+        open_slide(path3)
+
+
+def test_philips_to_training(tmp_path):
+    """Full Philips-layout .tiff → patches → features pipeline through the
+    extract CLI (reference: create_patches_fp + extract_features_fp over
+    an OpenSlide philips handle)."""
+    from mhim_mil_tpu.preprocess.vendor_tiff import write_philips_tiff
+
+    rng = np.random.default_rng(11)
+    img = np.full((256, 384, 3), 245, np.uint8)  # background
+    img[64:192, 128:320] = rng.integers(30, 180, (128, 192, 3)).astype(np.uint8)
+    slide_dir = tmp_path / "slides"
+    slide_dir.mkdir()
+    # drop a pure-background tile: the sparse path must survive the sweep
+    write_philips_tiff(str(slide_dir / "case_ph_0.tiff"), img, levels=2,
+                       tile=128, sparse={(0, 0)})
+
+    import subprocess
+    import sys
+
+    store = tmp_path / "store"
+    r = subprocess.run(
+        [sys.executable, "tools/extract_features.py",
+         "--source", str(slide_dir), "--save_dir", str(store),
+         "--patch_size", "32", "--step_size", "32", "--batch_size", "8"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import torch
+
+    feats = torch.load(
+        store / "pt_files" / "case_ph_0.pt", map_location="cpu",
+        weights_only=True,
+    )
+    assert feats.ndim == 2 and feats.shape[0] > 0

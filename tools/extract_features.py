@@ -50,7 +50,7 @@ from mhim_mil_tpu.preprocess.segment import (  # noqa: E402
     segment_tissue,
 )
 
-IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".svs", ".ndpi", ".bmp")
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".svs", ".ndpi", ".scn", ".bmp")
 
 
 PARAM_COLS = ("sthresh", "coverage", "patch_size", "step_size")
