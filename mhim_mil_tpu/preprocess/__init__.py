@@ -5,8 +5,9 @@ TPU-native counterpart of the vendored CLAM pipeline (reference: CLAM/ —
 SURVEY.md §2 L0). OpenSlide is not available in this environment, so pixel
 access is implemented natively: ``tiff.py`` (classic TIFF / BigTIFF /
 Aperio ``.svs``), ``ndpi.py`` (Hamamatsu NDPI with restart-marker band
-decode) and ``vendor_tiff.py`` (Philips TIFF with sparse background
-tiles; Leica SCN collections); on top of that, Otsu tissue segmentation,
+decode), ``mirax.py`` (MIRAX ``.mrxs`` multi-file camera mosaics) and
+``vendor_tiff.py`` (Philips TIFF with sparse background tiles; Leica SCN
+collections); on top of that, Otsu tissue segmentation,
 grid coord generation,
 batched JAX feature extraction, and store converters
 (tools/convert_features.py) for consuming published feature sets.

@@ -39,8 +39,8 @@ module's page/tile machinery via ``PyramidalTiff._build_layout``).
 Out of scope: planar configuration 2, palette images. Files outside the
 subset raise ``UnsupportedTiffError`` so callers can fall back to plain
 raster loading — EXCEPT recognized vendor WSI formats we do NOT decode
-(Hamamatsu multi-file VMS/VMU, MIRAX, Philips iSyntax, Ventana BIF,
-DMetrix), which raise ``UnsupportedVendorFormatError`` naming the format
+(Hamamatsu VMU, Philips iSyntax, DMetrix),
+which raise ``UnsupportedVendorFormatError`` naming the format
 and the conversion path (vips/OpenSlide re-tiling to pyramidal TIFF), so
 a sweep over a mixed archive fails actionably instead of with a generic
 TIFF parse error.
@@ -75,11 +75,8 @@ class UnsupportedVendorFormatError(UnsupportedTiffError):
 # Vendor formats recognized by extension: name + how to get them into the
 # supported subset (any OpenSlide/vips host can do the conversion offline).
 _VENDOR_EXTS = {
-    ".vms": "Hamamatsu VMS",
     ".vmu": "Hamamatsu VMU",
-    ".mrxs": "MIRAX",
     ".isyntax": "Philips iSyntax",
-    ".bif": "Ventana BIF",
     ".svslide": "DMetrix",
 }
 _CONVERT_HINT = (
@@ -92,7 +89,9 @@ _CONVERT_HINT = (
 def _vendor_error(name: str) -> UnsupportedVendorFormatError:
     return UnsupportedVendorFormatError(
         f"{name} slides are not supported by this reader "
-        f"(supported: classic TIFF, BigTIFF, Aperio .svs); {_CONVERT_HINT}"
+        "(supported: classic TIFF, BigTIFF, Aperio .svs, Hamamatsu "
+        ".ndpi/.vms, MIRAX .mrxs, Philips TIFF, Leica .scn, Ventana .bif); "
+        f"{_CONVERT_HINT}"
     )
 
 
@@ -105,6 +104,7 @@ _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR, _PREDICTOR = 284, 317
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _JPEG_TABLES = 347
+_XMP = 700  # XMP packet (Ventana BIF keeps its iScan metadata here)
 _NDPI_PRIVATE = 65420  # Hamamatsu NDPI marker tag (what OpenSlide keys on)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
@@ -304,6 +304,17 @@ def _tag_text(tags: Dict[int, tuple], tag_id: int) -> str:
     return str(v)
 
 
+def _tag_bytes(tags: Dict[int, tuple], tag_id: int) -> bytes:
+    """Raw bytes of a tag whether stored as UNDEFINED (one bytes blob) or
+    as a BYTE array (tuple of ints) — XMP packets occur as both."""
+    v = tags.get(tag_id, ())
+    if len(v) == 1 and isinstance(v[0], bytes):
+        return v[0]
+    if v and all(isinstance(x, int) for x in v):
+        return bytes(v)
+    return b""
+
+
 class _NdpiContent(Exception):
     """Internal routing signal: a .tif-named file is NDPI inside —
     ``open_slide`` re-opens it through :class:`~.ndpi.NdpiSlide` instead of
@@ -320,10 +331,15 @@ class _ScnContent(Exception):
     :class:`~mhim_mil_tpu.preprocess.vendor_tiff.LeicaScn`."""
 
 
+class _VentanaContent(Exception):
+    """Routing signal: Ventana BIF layout (iScan XMP) — handled by
+    :class:`~mhim_mil_tpu.preprocess.vendor_tiff.VentanaBif`."""
+
+
 def _detect_vendor_tiff(raw_pages: List[Dict[int, tuple]]) -> None:
     """Route TIFF-contained vendor layouts to their dedicated readers
-    (NDPI / Philips TIFF / Leica SCN — routing signals caught by
-    ``open_slide``, never surfaced to callers)."""
+    (NDPI / Philips TIFF / Leica SCN / Ventana BIF — routing signals
+    caught by ``open_slide``, never surfaced to callers)."""
     first = raw_pages[0]
     if any(_NDPI_PRIVATE in tags for tags in raw_pages):
         raise _NdpiContent
@@ -342,6 +358,10 @@ def _detect_vendor_tiff(raw_pages: List[Dict[int, tuple]]) -> None:
         "leica" in make and desc.lstrip().startswith("<")
     ):
         raise _ScnContent
+    # Ventana keys on the iScan XMP packet, not on tag presence: generic
+    # TIFFs carry XMP (tag 700) too
+    if any(b"iScan" in _tag_bytes(t, _XMP) for t in raw_pages):
+        raise _VentanaContent
 
 
 class _Page:
@@ -726,13 +746,14 @@ class RasterSlide:
 
 def open_slide(path: str):
     """Open ``path`` as a pyramidal TIFF / Aperio .svs / Hamamatsu .ndpi /
-    Philips TIFF / Leica .scn when possible, else as a flat raster image
-    (the reference calls openslide.open_slide unconditionally,
+    MIRAX .mrxs / Philips TIFF / Leica .scn when possible, else as a flat
+    raster image (the reference calls openslide.open_slide unconditionally,
     WholeSlideImage.py:32). Vendor layouts route by extension or by
     content signature inside a ``.tif``: NDPI to
-    :class:`~mhim_mil_tpu.preprocess.ndpi.NdpiSlide`, Philips/SCN to
+    :class:`~mhim_mil_tpu.preprocess.ndpi.NdpiSlide`, MIRAX to
+    :class:`~mhim_mil_tpu.preprocess.mirax.MiraxSlide`, Philips/SCN to
     :mod:`~mhim_mil_tpu.preprocess.vendor_tiff`. Recognized vendor formats
-    outside the supported subset (MIRAX/iSyntax/VMS/...) raise
+    outside the supported subset (iSyntax/VMS/BIF/...) raise
     :class:`UnsupportedVendorFormatError` with a conversion recipe instead
     of a generic parse error or a silent raster fallback."""
     lower = path.lower()
@@ -743,10 +764,22 @@ def open_slide(path: str):
         from .ndpi import NdpiSlide
 
         return NdpiSlide(path)
+    if lower.endswith(".mrxs"):
+        from .mirax import MiraxSlide
+
+        return MiraxSlide(path)
+    if lower.endswith(".vms"):
+        from .vms import VmsSlide
+
+        return VmsSlide(path)
     if lower.endswith(".scn"):
         from .vendor_tiff import LeicaScn
 
         return LeicaScn(path)
+    if lower.endswith(".bif"):
+        from .vendor_tiff import VentanaBif
+
+        return VentanaBif(path)
     if lower.endswith((".tif", ".tiff", ".svs")):
         try:
             return PyramidalTiff(path)
@@ -762,6 +795,10 @@ def open_slide(path: str):
             from .vendor_tiff import LeicaScn
 
             return LeicaScn(path)
+        except _VentanaContent:
+            from .vendor_tiff import VentanaBif
+
+            return VentanaBif(path)
         except UnsupportedVendorFormatError:
             raise
         except UnsupportedTiffError:

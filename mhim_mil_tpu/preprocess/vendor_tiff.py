@@ -1,11 +1,12 @@
-"""Philips TIFF and Leica SCN readers — TIFF-contained vendor layouts.
+"""Philips TIFF, Leica SCN and Ventana BIF readers — TIFF-contained
+vendor layouts.
 
-The reference opens both through OpenSlide's vendor drivers
+The reference opens all three through OpenSlide's vendor drivers
 (`CLAM/wsi_core/WholeSlideImage.py:22-90` calls ``openslide.open_slide``
-unconditionally; OpenSlide routes by content signature). Both formats are
-structurally plain tiled TIFFs — the vendor part is the *layout*: which
-pages form the pyramid, where label/macro live, and where the microns-per
--pixel metadata hides. The readers here subclass
+unconditionally; OpenSlide routes by content signature). These formats
+are structurally plain tiled TIFFs — the vendor part is the *layout*:
+which pages form the pyramid, where label/macro live, and where the
+microns-per-pixel metadata hides. The readers here subclass
 :class:`~mhim_mil_tpu.preprocess.tiff.PyramidalTiff` and override only
 ``_build_layout``, so tile decode / region access / caching stay shared
 with the generic reader.
@@ -29,11 +30,21 @@ Leica SCN (what OpenSlide's ``leica`` driver reads):
     (associated image); the remaining image is the main pyramid;
   * mpp is derived view-size(nm) / pixels, objective from scanSettings.
 
+Ventana BIF (the single-AOI subset of OpenSlide's ``ventana`` driver):
+  * detected by an ``iScan`` element in a page's XMP packet (tag 700) or
+    the ``.bif`` extension; ``ScanRes`` (microns/pixel) →
+    ``openslide.mpp-*``, ``Magnification`` → objective power, scalar
+    ``iScan`` attributes under ``ventana.<Name>``;
+  * tiled pages form the pyramid; striped ``Thumbnail`` / ``Label`` /
+    ``Macro`` pages are associated images.
+
 Out of scope, raised as named ``UnsupportedVendorFormatError`` with a
 conversion recipe: multi-region SCN slides (several main images placed on
 the collection grid — OpenSlide composes them; convert via vips), SCN
-z-stacks (extra focal planes), and Philips iSyntax (not a TIFF at all,
-``.isyntax`` stays named-unsupported in ``tiff.open_slide``).
+z-stacks (extra focal planes), multi-AOI BIF slides (OpenSlide composes
+the areas of interest with overlap-joint arithmetic), and Philips
+iSyntax (not a TIFF at all, ``.isyntax`` stays named-unsupported in
+``tiff.open_slide``).
 """
 
 from __future__ import annotations
@@ -68,6 +79,7 @@ from .tiff import (
     _TYPE_FMT,
     _TYPE_SIZE,
     _W,
+    _XMP,
     _Page,
     PyramidalTiff,
 )
@@ -266,6 +278,91 @@ class LeicaScn(PyramidalTiff):
                 break
 
 
+# ---- Ventana BIF -------------------------------------------------------------
+
+
+class VentanaBif(PyramidalTiff):
+    """Ventana BIF layout over the shared pyramidal-TIFF machinery —
+    the single-AOI subset of what OpenSlide's ``ventana`` driver reads.
+
+    BIF keeps its scanner metadata in an ``iScan`` element inside the XMP
+    packet (tag 700): ``ScanRes`` is microns/pixel → ``openslide.mpp-*``,
+    ``Magnification`` → ``openslide.objective-power``, every scalar
+    attribute lands under ``ventana.<Name>``. Tiled pages form the
+    pyramid; striped pages whose description names them ``Label`` /
+    ``Thumbnail`` / ``Macro`` are associated images. Slides scanned as
+    multiple areas of interest (OpenSlide composes the AOIs with
+    overlap-joint arithmetic from the directory XMP) raise the named
+    vendor error — the single-AOI mosaic is a plain pyramid.
+    """
+
+    def _build_layout(self, raw: List[Dict[int, tuple]]) -> None:
+        from .tiff import _XMP, _tag_bytes
+
+        xmp = b""
+        for t in raw:
+            xmp = _tag_bytes(t, _XMP)
+            if b"iScan" in xmp:
+                break
+        iscan: Optional[ET.Element] = None
+        if xmp:
+            try:
+                root = ET.fromstring(xmp.split(b"\x00", 1)[0].decode(
+                    "utf-8", "replace").strip())
+                for el in root.iter():
+                    if _local(el.tag) == "iScan":
+                        iscan = el
+                        break
+                if iscan is None and _local(root.tag) == "iScan":
+                    iscan = root
+            except ET.ParseError:
+                iscan = None
+
+        self.properties: Dict[str, str] = {"openslide.vendor": "ventana"}
+        if iscan is not None:
+            n_aois = 1
+            for key in ("NumberOfAOIs", "TotalAOIs"):
+                if iscan.get(key):
+                    n_aois = int(float(iscan.get(key)))
+            aoi_els = [
+                el for el in iscan.iter() if "AOI" in _local(el.tag)
+            ]
+            if n_aois > 1 or len(aoi_els) > 1:
+                raise UnsupportedVendorFormatError(
+                    f"Ventana BIF with {max(n_aois, len(aoi_els))} areas of "
+                    "interest: OpenSlide composes AOIs with overlap-joint "
+                    "arithmetic, this reader supports single-AOI slides; "
+                    f"{_CONVERT_HINT}"
+                )
+            for name, val in iscan.attrib.items():
+                self.properties.setdefault(f"ventana.{name}", val)
+            res = iscan.get("ScanRes")  # microns per pixel
+            if res:
+                self.properties["openslide.mpp-x"] = f"{float(res):.6f}"
+                self.properties["openslide.mpp-y"] = f"{float(res):.6f}"
+            mag = iscan.get("Magnification")
+            if mag:
+                self.properties["openslide.objective-power"] = mag
+
+        self._assoc_pages: Dict[str, _Page] = {}
+        levels = []
+        for t in raw:
+            p = _Page(t)
+            d = p.description.strip().lower()
+            if p.tiled:
+                levels.append(p)
+            elif "label" in d[:64]:
+                self._assoc_pages.setdefault("label", p)
+            elif "thumbnail" in d[:64]:
+                self._assoc_pages.setdefault("thumbnail", p)
+            elif "macro" in d[:64]:
+                self._assoc_pages.setdefault("macro", p)
+        if not levels:
+            raise UnsupportedTiffError("Ventana BIF has no tiled pyramid pages")
+        levels.sort(key=lambda p: -p.width)
+        self._pages = levels
+
+
 # ---- fixture writers ---------------------------------------------------------
 
 
@@ -346,6 +443,9 @@ def _write_tiff(path: str, pages: List[dict]) -> None:
             tags.append((_DESC, 2, [spec["desc"].encode("latin-1") + b"\x00"]))
         if spec.get("software"):
             tags.append((_SOFTWARE, 2, [spec["software"].encode("latin-1") + b"\x00"]))
+        if spec.get("xmp"):
+            # XMP packet as a BYTE array (type 1), the layout real scanners use
+            tags.append((_XMP, 1, list(spec["xmp"])))
         if tiled:
             tags += [
                 (_TILE_W, 3, [tile]), (_TILE_H, 3, [tile]),
@@ -448,6 +548,48 @@ def write_philips_tiff(
                           quality=quality))
     pages.append(dict(img=thumb(40), tiled=False, comp="jpeg", desc="Label"))
     pages.append(dict(img=thumb(64), tiled=False, comp="jpeg", desc="Macro"))
+    _write_tiff(path, pages)
+
+
+def write_ventana_bif(
+    path: str,
+    level0: np.ndarray,
+    levels: int = 2,
+    tile: int = 128,
+    mpp: float = 0.25,
+    magnification: int = 20,
+    aois: int = 1,
+    quality: int = 92,
+) -> None:
+    """Write an RGB image in the Ventana BIF layout (fixture twin of the
+    single-AOI subset of what OpenSlide's ventana driver reads): tiled
+    pyramid pages, the ``iScan`` element (ScanRes in microns/pixel,
+    Magnification, NumberOfAOIs) inside an XMP packet on the first page,
+    striped ``Thumbnail`` / ``Label`` associated pages. ``aois > 1``
+    writes the multi-AOI metadata this reader names as unsupported."""
+    assert level0.ndim == 3 and level0.shape[2] == 3 and level0.dtype == np.uint8
+    xmp = (
+        '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        "<rdf:Description>"
+        f'<iScan Magnification="{magnification}" ScanRes="{mpp:g}" '
+        f'UnitNumber="1" NumberOfAOIs="{aois}" ShowLabel="1" Z-layers="1"/>'
+        "</rdf:Description></rdf:RDF></x:xmpmeta>"
+    ).encode("utf-8")
+    imgs = _downsamples(level0, levels)
+
+    def thumb(max_w: int) -> np.ndarray:
+        step = max(1, level0.shape[1] // max_w)
+        return level0[::step, ::step]
+
+    pages = [dict(img=imgs[0], tiled=True, tile=tile, comp="jpeg",
+                  quality=quality, xmp=xmp, desc="level=0 mag=40 quality=94")]
+    for ds_img in imgs[1:]:
+        pages.append(dict(img=ds_img, tiled=True, tile=tile, comp="jpeg",
+                          quality=quality))
+    pages.append(dict(img=thumb(64), tiled=False, comp="jpeg", desc="Thumbnail"))
+    pages.append(dict(img=thumb(40), tiled=False, comp="jpeg", desc="Label"))
     _write_tiff(path, pages)
 
 

@@ -394,11 +394,11 @@ def test_vendor_format_named_errors(tmp_path):
     from mhim_mil_tpu.preprocess.tiff import _PhilipsContent, _ScnContent
 
     # extension routing: each known vendor extension names its format
-    # (.ndpi and .scn are no longer here — they have real readers,
-    # test_ndpi_* / test_scn_* below)
+    # (.ndpi, .scn, .mrxs, .vms and .bif are no longer here — they have
+    # real readers, test_ndpi_* / test_scn_* / test_mirax_* / test_vms_* /
+    # test_bif_* below)
     for ext, name in (
-        (".vms", "VMS"), (".mrxs", "MIRAX"), (".isyntax", "Philips"),
-        (".bif", "Ventana"),
+        (".vmu", "VMU"), (".isyntax", "Philips"), (".svslide", "DMetrix"),
     ):
         p = tmp_path / ("slide" + ext)
         p.write_bytes(b"\x00" * 64)
@@ -707,3 +707,340 @@ def test_philips_to_training(tmp_path):
         weights_only=True,
     )
     assert feats.ndim == 2 and feats.shape[0] > 0
+
+
+# ---- MIRAX .mrxs (preprocess/mirax.py) ---------------------------------------
+
+
+def test_mirax_layout(tmp_path):
+    """MIRAX slide (Slidedat.ini + Index.dat + Data*.dat, overlapping
+    camera mosaic, concat-factor pyramid): opens through open_slide by
+    extension, dimensions are the camera extent, mpp/objective land in
+    openslide.* properties, thumbnail/macro/label associated images decode
+    from their nonhier records — OpenSlide mirax-driver semantics; the
+    reference reaches .mrxs via CLAM/wsi_core/WholeSlideImage.py:22-90."""
+    from mhim_mil_tpu.preprocess.mirax import MiraxSlide, write_mirax
+
+    img = _smooth_img(300, 460)
+    path = str(tmp_path / "slide.mrxs")
+    write_mirax(path, img, levels=3, tile=64, overlap=16, mpp=0.2325,
+                objective=20)
+    s = open_slide(path)
+    assert isinstance(s, MiraxSlide)
+    # camera grid: step 48 -> 10 x 6 cameras -> extent 496 x 304
+    assert s.dimensions == (496, 304)
+    assert s.level_count == 3
+    assert s.level_dimensions[1] == (248, 152)
+    assert s.level_downsamples == [1.0, 2.0, 4.0]
+    assert s.properties["openslide.vendor"] == "mirax"
+    assert float(s.properties["openslide.mpp-x"]) == pytest.approx(0.2325)
+    assert s.properties["openslide.objective-power"] == "20"
+    assert s.properties["mirax.GENERAL.SLIDE_ID"] == "FIXTURE-0001"
+    assert set(s._assoc_payloads) == {"thumbnail", "macro", "label"}
+    assert s.associated_images["macro"].ndim == 3
+
+    # level-0 reads stitch overlapping cameras back to the source content
+    r = s.read_region((30, 40), 0, (120, 90))
+    assert np.abs(r.astype(int) - img[40:130, 30:150].astype(int)).mean() < 3
+    # beyond the source but inside the camera extent: fill color (white)
+    assert (s.read_region((465, 0), 0, (31, 20)) == 255).all()
+    # level 1 matches the box downsample of the source
+    r1 = s.read_region((0, 0), 1, (64, 64))
+    box = img[:128, :128].reshape(64, 2, 64, 2, 3).mean((1, 3)).astype(np.uint8)
+    assert np.abs(r1.astype(int) - box.astype(int)).mean() < 4
+    # level 2 renders
+    r2 = s.read_region((0, 0), 2, (60, 60))
+    assert r2.shape == (60, 60, 3)
+    s.close()
+
+
+def test_mirax_positions_and_fallbacks(tmp_path):
+    """The camera-position buffer is honored (jittered positions, zlib
+    StitchingIntensity flavor), the nominal-grid fallback covers slides
+    without a buffer, and absent cameras (flag 0, no tile record) render
+    as fill. PNG stored images make the assertions exact."""
+    from mhim_mil_tpu.preprocess.mirax import MiraxSlide, write_mirax
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (160, 230, 3)).astype(np.uint8)
+
+    # zlib-compressed buffer + jittered odd columns: only a reader that
+    # honors the recorded positions reproduces the content exactly
+    p1 = str(tmp_path / "jitter.mrxs")
+    write_mirax(p1, img, levels=2, tile=64, overlap=16, fmt="PNG",
+                position="stitching", jitter=8)
+    s = open_slide(p1)
+    assert isinstance(s, MiraxSlide)
+    r = s.read_region((20, 10), 0, (140, 120))
+    assert (r == img[10:130, 20:160]).all()
+    s.close()
+
+    # no position buffer at all: nominal (digitizer - overlap) grid
+    p2 = str(tmp_path / "grid.mrxs")
+    write_mirax(p2, img, levels=1, tile=64, overlap=16, fmt="PNG",
+                position=None)
+    s = open_slide(p2)
+    r = s.read_region((0, 0), 0, (230, 160))
+    assert (r == img).all()
+    s.close()
+
+    # absent camera: no tile record, canvas renders the fill color
+    p3 = str(tmp_path / "absent.mrxs")
+    write_mirax(p3, img, levels=1, tile=64, overlap=16, fmt="PNG",
+                absent={(0, 0)})
+    s = open_slide(p3)
+    assert (s.read_region((0, 0), 0, (48, 48)) == 255).all()
+    # a camera that IS present still reads its content
+    r = s.read_region((64, 64), 0, (40, 40))
+    assert (r == img[64:104, 64:104]).all()
+    s.close()
+
+
+def test_mirax_named_errors(tmp_path):
+    """MIRAX failure modes raise the NAMED vendor error with the
+    conversion recipe: a .mrxs without its data directory, sub-divided
+    camera tiles (CameraImageDivisionsPerSide != 1), and an index file
+    that does not match Slidedat.ini."""
+    from mhim_mil_tpu.preprocess.tiff import UnsupportedVendorFormatError
+    from mhim_mil_tpu.preprocess.mirax import write_mirax
+
+    # bare .mrxs file, no data directory
+    orphan = tmp_path / "orphan.mrxs"
+    orphan.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 60)
+    with pytest.raises(UnsupportedVendorFormatError) as ei:
+        open_slide(str(orphan))
+    assert "MIRAX" in str(ei.value) and "pyramid" in str(ei.value)
+
+    img = _smooth_img(96, 128)
+    p = str(tmp_path / "div.mrxs")
+    write_mirax(p, img, levels=1, tile=64, overlap=16, divisions=2)
+    with pytest.raises(UnsupportedVendorFormatError, match="Divisions"):
+        open_slide(p)
+
+    p2 = str(tmp_path / "badidx.mrxs")
+    write_mirax(p2, img, levels=1, tile=64, overlap=16)
+    idx = tmp_path / "badidx" / "Index.dat"
+    raw = bytearray(idx.read_bytes())
+    raw[:3] = b"XXX"
+    idx.write_bytes(bytes(raw))
+    with pytest.raises(UnsupportedVendorFormatError, match="index"):
+        open_slide(p2)
+
+
+def test_mirax_to_training(tmp_path):
+    """Full .mrxs → patches → features pipeline through the extract CLI
+    (reference: create_patches_fp + extract_features_fp over an OpenSlide
+    mirax handle)."""
+    from mhim_mil_tpu.preprocess.mirax import write_mirax
+
+    rng = np.random.default_rng(13)
+    img = np.full((240, 360, 3), 245, np.uint8)  # background
+    img[60:180, 120:300] = rng.integers(30, 180, (120, 180, 3)).astype(np.uint8)
+    slide_dir = tmp_path / "slides"
+    slide_dir.mkdir()
+    write_mirax(str(slide_dir / "case_mx_0.mrxs"), img, levels=2, tile=64,
+                overlap=16)
+
+    import subprocess
+    import sys
+
+    store = tmp_path / "store"
+    r = subprocess.run(
+        [sys.executable, "tools/extract_features.py",
+         "--source", str(slide_dir), "--save_dir", str(store),
+         "--patch_size", "32", "--step_size", "32", "--batch_size", "8"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import torch
+
+    feats = torch.load(
+        store / "pt_files" / "case_mx_0.pt", map_location="cpu",
+        weights_only=True,
+    )
+    assert feats.ndim == 2 and feats.shape[0] > 0
+    import h5py
+
+    with h5py.File(store / "h5_files" / "case_mx_0.h5", "r") as f:
+        assert "coords" in f and len(f["coords"]) == feats.shape[0]
+
+
+# ---- Hamamatsu VMS (preprocess/vms.py) ---------------------------------------
+
+
+def test_vms_layout(tmp_path):
+    """Hamamatsu VMS (multi-file JPEG mosaic + DCT-scaled levels): opens
+    through open_slide by extension, the 2x2 grid stitches back to the
+    source, levels are the libjpeg scale denominators 1/2/4/8,
+    PhysicalWidth (nm) lands in openslide.mpp-*, macro/map decode —
+    OpenSlide hamamatsu-driver semantics; the reference reaches .vms via
+    CLAM/wsi_core/WholeSlideImage.py:22-90."""
+    from mhim_mil_tpu.preprocess.vms import VmsSlide, write_vms
+
+    img = _smooth_img(288, 392)
+    path = str(tmp_path / "slide.vms")
+    write_vms(path, img, cols=2, rows=2, mpp=0.23, lens=40)
+    s = open_slide(path)
+    assert isinstance(s, VmsSlide)
+    assert s.dimensions == (392, 288)
+    assert s.level_count == 4
+    assert s.level_downsamples == [1.0, 2.0, 4.0, 8.0]
+    assert s.level_dimensions[1] == (196, 144)
+    assert s.level_dimensions[3] == (49, 36)
+    assert s.properties["openslide.vendor"] == "hamamatsu"
+    assert float(s.properties["openslide.mpp-x"]) == pytest.approx(0.23, rel=1e-3)
+    assert s.properties["openslide.objective-power"] == "40"
+    assert set(s._assoc_paths) == {"macro", "map"}
+    assert s.associated_images["map"].ndim == 3
+
+    # level-0 region spanning all four cells (interior edges at 192 / 144)
+    r = s.read_region((150, 100), 0, (120, 100))
+    assert np.abs(r.astype(int) - img[100:200, 150:270].astype(int)).mean() < 3
+    # level 1 (DCT half-scale) approximates the box downsample
+    r1 = s.read_region((0, 0), 1, (64, 64))
+    box = img[:128, :128].reshape(64, 2, 64, 2, 3).mean((1, 3)).astype(np.uint8)
+    assert np.abs(r1.astype(int) - box.astype(int)).mean() < 5
+    # level 3 (d=8) renders at the ceil-scaled geometry incl. the last cell
+    r3 = s.read_region((0, 0), 3, (49, 36))
+    assert r3.shape == (36, 49, 3)
+    assert (r3 != 0).any()
+    s.close()
+
+
+def test_vms_whole_cell_fallback(tmp_path):
+    """Cells without restart markers decode whole (under the memory
+    guard), matching the banded path's content."""
+    from mhim_mil_tpu.preprocess.vms import VmsSlide, write_vms
+
+    img = _smooth_img(160, 240, seed=5)
+    path = str(tmp_path / "mono.vms")
+    write_vms(path, img, cols=1, rows=1, restart_rows=0)
+    s = open_slide(path)
+    assert isinstance(s, VmsSlide)
+    r = s.read_region((40, 30), 0, (120, 100))
+    assert np.abs(r.astype(int) - img[30:130, 40:160].astype(int)).mean() < 3
+    th = s.get_thumbnail(64)
+    assert max(th.shape[:2]) <= 64
+    s.close()
+
+
+def test_vms_named_errors(tmp_path):
+    """VMS failure modes raise the NAMED vendor error: multiple focal
+    planes (NoLayers != 1), a missing referenced grid file, and interior
+    cells that are not 8-px aligned (the DCT-scaled levels cannot tile)."""
+    from mhim_mil_tpu.preprocess.tiff import UnsupportedVendorFormatError
+    from mhim_mil_tpu.preprocess.vms import write_vms
+
+    img = _smooth_img(96, 128)
+    p1 = str(tmp_path / "layers.vms")
+    write_vms(p1, img, no_layers=3)
+    with pytest.raises(UnsupportedVendorFormatError, match="NoLayers"):
+        open_slide(p1)
+
+    p2 = str(tmp_path / "missing.vms")
+    write_vms(p2, img, cols=2)
+    os.remove(tmp_path / "missing_x1_y0.jpg")
+    with pytest.raises(UnsupportedVendorFormatError, match="missing"):
+        open_slide(p2)
+
+    # hand-built mosaic with a 100-px interior column (not 8-px aligned)
+    Image.fromarray(img[:, :100]).save(tmp_path / "ua_a.jpg", quality=90)
+    Image.fromarray(img[:, 100:]).save(tmp_path / "ua_b.jpg", quality=90)
+    p3 = tmp_path / "unaligned.vms"
+    p3.write_text(
+        "[Virtual Microscope Specimen]\nNoLayers=1\n"
+        "NoJpegColumns=2\nNoJpegRows=1\n"
+        "ImageFile=ua_a.jpg\nImageFile(1,0)=ua_b.jpg\n"
+    )
+    with pytest.raises(UnsupportedVendorFormatError, match="aligned"):
+        open_slide(str(p3))
+
+
+def test_vms_to_training(tmp_path):
+    """Full .vms → patches → features pipeline through the extract CLI
+    (reference: create_patches_fp + extract_features_fp over an OpenSlide
+    hamamatsu handle)."""
+    from mhim_mil_tpu.preprocess.vms import write_vms
+
+    rng = np.random.default_rng(17)
+    img = np.full((240, 320, 3), 245, np.uint8)  # background
+    img[64:176, 96:256] = rng.integers(30, 180, (112, 160, 3)).astype(np.uint8)
+    slide_dir = tmp_path / "slides"
+    slide_dir.mkdir()
+    write_vms(str(slide_dir / "case_vm_0.vms"), img, cols=2, rows=1)
+
+    import subprocess
+    import sys
+
+    store = tmp_path / "store"
+    r = subprocess.run(
+        [sys.executable, "tools/extract_features.py",
+         "--source", str(slide_dir), "--save_dir", str(store),
+         "--patch_size", "32", "--step_size", "32", "--batch_size", "8"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import torch
+
+    feats = torch.load(
+        store / "pt_files" / "case_vm_0.pt", map_location="cpu",
+        weights_only=True,
+    )
+    assert feats.ndim == 2 and feats.shape[0] > 0
+
+
+# ---- Ventana BIF (preprocess/vendor_tiff.py) ---------------------------------
+
+
+def test_bif_layout(tmp_path):
+    """Ventana BIF single-AOI layout (iScan XMP on the first page, tiled
+    pyramid, striped Thumbnail/Label pages): opens through open_slide by
+    extension AND by content signature inside a .tif, ScanRes lands in
+    openslide.mpp-*, iScan attributes under ventana.* — OpenSlide
+    ventana-driver semantics; the reference reaches .bif via
+    CLAM/wsi_core/WholeSlideImage.py:22-90."""
+    from mhim_mil_tpu.preprocess.vendor_tiff import VentanaBif, write_ventana_bif
+
+    img = _smooth_img(256, 384)
+    path = str(tmp_path / "slide.bif")
+    write_ventana_bif(path, img, levels=2, tile=128, mpp=0.465,
+                      magnification=20)
+    s = open_slide(path)
+    assert isinstance(s, VentanaBif)
+    assert s.level_count == 2 and s.dimensions == (384, 256)
+    assert s.properties["openslide.vendor"] == "ventana"
+    assert float(s.properties["openslide.mpp-x"]) == pytest.approx(0.465)
+    assert s.properties["openslide.objective-power"] == "20"
+    assert s.properties["ventana.UnitNumber"] == "1"
+    assert set(s._assoc_pages) == {"thumbnail", "label"}
+    assert s.associated_images["thumbnail"].ndim == 3
+
+    r = s.read_region((100, 60), 0, (150, 120))
+    assert np.abs(r.astype(int) - img[60:180, 100:250].astype(int)).mean() < 3
+    r1 = s.read_region((0, 0), 1, (64, 64))
+    box = img[:128, :128].reshape(64, 2, 64, 2, 3).mean((1, 3)).astype(np.uint8)
+    assert np.abs(r1.astype(int) - box.astype(int)).mean() < 4
+    s.close()
+
+    # content routing: the same layout misnamed .tif still opens as BIF
+    path2 = str(tmp_path / "hidden_bif.tif")
+    write_ventana_bif(path2, img, levels=1, tile=128)
+    s2 = open_slide(path2)
+    assert isinstance(s2, VentanaBif) and s2.level_count == 1
+    s2.close()
+
+
+def test_bif_multi_aoi_named_error(tmp_path):
+    """Multi-AOI BIF slides (OpenSlide composes the areas of interest
+    with overlap joints) raise the NAMED vendor error with the conversion
+    recipe, not a silently mis-stitched pyramid."""
+    from mhim_mil_tpu.preprocess.tiff import UnsupportedVendorFormatError
+    from mhim_mil_tpu.preprocess.vendor_tiff import write_ventana_bif
+
+    img = _smooth_img(128, 128)
+    p = str(tmp_path / "twoaoi.bif")
+    write_ventana_bif(p, img, levels=1, tile=128, aois=2)
+    with pytest.raises(UnsupportedVendorFormatError, match="interest"):
+        open_slide(p)

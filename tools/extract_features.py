@@ -50,7 +50,34 @@ from mhim_mil_tpu.preprocess.segment import (  # noqa: E402
     segment_tissue,
 )
 
-IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".svs", ".ndpi", ".scn", ".bmp")
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".svs", ".ndpi",
+            ".mrxs", ".vms", ".scn", ".bif", ".bmp")
+
+
+def _vms_satellites(paths):
+    """Files referenced by a ``.vms`` slide in the sweep (grid JPEGs, map,
+    macro, optimisation file): they are parts of that slide, not slides of
+    their own — sweeping them as flat rasters would pollute the store."""
+    out = set()
+    for p in paths:
+        if not p.lower().endswith(".vms"):
+            continue
+        base = os.path.dirname(os.path.abspath(p))
+        try:
+            import configparser
+
+            ini = configparser.ConfigParser(interpolation=None, strict=False)
+            ini.optionxform = str
+            with open(p, "r", encoding="utf-8-sig", errors="replace") as f:
+                ini.read_string(f.read())
+            for sect in ini.values():
+                for _k, v in sect.items():
+                    cand = os.path.join(base, v.strip())
+                    if os.path.isfile(cand):
+                        out.add(os.path.abspath(cand))
+        except Exception:
+            pass
+    return out
 
 
 PARAM_COLS = ("sthresh", "coverage", "patch_size", "step_size")
@@ -181,6 +208,8 @@ def main(argv=None):
         for f in os.listdir(args.source)
         if f.lower().endswith(IMG_EXTS)
     )
+    sat = _vms_satellites(paths)
+    paths = [p for p in paths if os.path.abspath(p) not in sat]
     if not paths:
         raise SystemExit(f"no images in {args.source}")
     os.makedirs(args.save_dir, exist_ok=True)
