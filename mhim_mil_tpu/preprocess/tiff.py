@@ -39,7 +39,7 @@ module's page/tile machinery via ``PyramidalTiff._build_layout``).
 Out of scope: planar configuration 2, palette images. Files outside the
 subset raise ``UnsupportedTiffError`` so callers can fall back to plain
 raster loading — EXCEPT recognized vendor WSI formats we do NOT decode
-(Hamamatsu VMU, Philips iSyntax, DMetrix),
+(Hamamatsu VMU raw-NGR, Philips iSyntax, Sakura .svslide),
 which raise ``UnsupportedVendorFormatError`` naming the format
 and the conversion path (vips/OpenSlide re-tiling to pyramidal TIFF), so
 a sweep over a mixed archive fails actionably instead of with a generic
@@ -77,7 +77,7 @@ class UnsupportedVendorFormatError(UnsupportedTiffError):
 _VENDOR_EXTS = {
     ".vmu": "Hamamatsu VMU",
     ".isyntax": "Philips iSyntax",
-    ".svslide": "DMetrix",
+    ".svslide": "Sakura",
 }
 _CONVERT_HINT = (
     "convert it to a pyramidal TIFF on any machine with vips/OpenSlide "

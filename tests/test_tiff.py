@@ -398,7 +398,7 @@ def test_vendor_format_named_errors(tmp_path):
     # real readers, test_ndpi_* / test_scn_* / test_mirax_* / test_vms_* /
     # test_bif_* below)
     for ext, name in (
-        (".vmu", "VMU"), (".isyntax", "Philips"), (".svslide", "DMetrix"),
+        (".vmu", "VMU"), (".isyntax", "Philips"), (".svslide", "Sakura"),
     ):
         p = tmp_path / ("slide" + ext)
         p.write_bytes(b"\x00" * 64)
